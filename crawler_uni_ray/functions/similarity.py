@@ -1,0 +1,154 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+* ``ann_bruteforce`` — exact cosine top-k: the query matrix is broadcast
+  once (``ray.put``); each batch does ONE numpy matmul against it and
+  emits only its local top-k rows per query (a per-batch combiner), so the
+  driver-side merge sees ``n_batches × n_queries × k`` rows, never the
+  corpus.  This is the correctness baseline and the SQL-checkable path.
+* ``ann_lsh`` — the scale path: random-hyperplane bucket codes partition
+  the corpus; each query probes only its own (multi-probe) buckets.  The
+  all-to-all moves (bucket, id, vec) once — index build — and queries
+  touch a vanishing fraction of the data.  Approximate by construction, so
+  no SQL oracle.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+from ray.data import Dataset
+
+from ..util import cached_get
+
+
+def _as_matrix(col) -> np.ndarray:
+    return np.stack([np.asarray(v, dtype=np.float32) for v in col])
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    return mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+
+
+def ann_bruteforce(
+    ds: Dataset,
+    queries: np.ndarray,
+    query_ids: list[int],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> pd.DataFrame:
+    """Exact cosine top-k: returns (query_id, neighbor_id, cosine, rank).
+    Deterministic tie-break: (-cosine, neighbor_id)."""
+    qmat = _normalize(np.asarray(queries, dtype=np.float32))
+    qref = ray.put(qmat)
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        q = cached_get(qref)
+        mat = _normalize(_as_matrix(df[vec_col].to_numpy()))
+        sims = q @ mat.T  # (n_queries, batch)
+        ids = df[id_col].to_numpy()
+        out = {"qi": [], "neighbor_id": [], "cosine": []}
+        top = min(k, sims.shape[1])
+        for qi in range(sims.shape[0]):
+            # local top-k by (-sim, id): sort a k-sized argpartition slice
+            part = np.argpartition(-sims[qi], top - 1)[:top]
+            for j in part:
+                out["qi"].append(qi)
+                out["neighbor_id"].append(int(ids[j]))
+                out["cosine"].append(float(sims[qi, j]))
+        return pd.DataFrame(out)
+
+    partials = ds.map_batches(_partial, batch_format="pandas").to_pandas()
+    rows = []
+    for qi, qid in enumerate(query_ids):
+        cand = partials[partials["qi"] == qi]
+        best = heapq.nsmallest(
+            k, cand.itertuples(index=False), key=lambda r: (-r.cosine, r.neighbor_id)
+        )
+        for rank, r in enumerate(best):
+            rows.append((int(qid), int(r.neighbor_id), round(float(r.cosine), 6), rank + 1))
+    return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "cosine", "rank"])
+
+
+def build_lsh_index(
+    ds: Dataset,
+    n_planes: int = 10,
+    seed: int = 23,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[Dataset, np.ndarray]:
+    """Index build: one pass assigning each vector its hyperplane sign
+    code.  Returns (bucketed dataset, planes)."""
+    rng = np.random.RandomState(seed)
+    planes = rng.normal(size=(dim, n_planes)).astype(np.float32)
+    pref = ray.put(planes)
+
+    def _code(df: pd.DataFrame) -> pd.DataFrame:
+        p = cached_get(pref)
+        mat = _normalize(_as_matrix(df[vec_col].to_numpy()))
+        codes = ((mat @ p) > 0).astype(np.int64) @ (1 << np.arange(n_planes, dtype=np.int64))
+        return pd.DataFrame(
+            {id_col: df[id_col].to_numpy(), "bucket": codes, vec_col: list(mat)}
+        )
+
+    return ds.map_batches(_code, batch_format="pandas"), planes
+
+
+def ann_lsh(
+    ds: Dataset,
+    queries: np.ndarray,
+    query_ids: list[int],
+    k: int = 10,
+    n_planes: int = 10,
+    multiprobe_bits: int = 2,
+    seed: int = 23,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> pd.DataFrame:
+    """Approximate top-k: search only the query's code bucket plus all
+    codes within ``multiprobe_bits`` bit flips."""
+    dim = int(np.asarray(queries).shape[1])
+    indexed, planes = build_lsh_index(
+        ds, n_planes=n_planes, seed=seed, dim=dim, vec_col=vec_col, id_col=id_col
+    )
+    qmat = _normalize(np.asarray(queries, dtype=np.float32))
+    qcodes = ((qmat @ planes) > 0).astype(np.int64) @ (
+        1 << np.arange(n_planes, dtype=np.int64)
+    )
+    probe_sets = []
+    for c in qcodes:
+        probes = {int(c)}
+        probes |= {int(c) ^ (1 << b) for b in range(n_planes)}
+        if multiprobe_bits >= 2:
+            probes |= {
+                int(c) ^ (1 << b1) ^ (1 << b2)
+                for b1 in range(n_planes)
+                for b2 in range(b1 + 1, n_planes)
+            }
+        probe_sets.append(probes)
+    wanted = set().union(*probe_sets) if probe_sets else set()
+    wref = ray.put(wanted)
+
+    def _prune(df: pd.DataFrame) -> pd.DataFrame:
+        w = cached_get(wref)
+        return df[df["bucket"].isin(w)]
+
+    cand = indexed.map_batches(_prune, batch_format="pandas").to_pandas()
+    rows = []
+    for qi, (qid, probes) in enumerate(zip(query_ids, probe_sets)):
+        sub = cand[cand["bucket"].isin(probes)]
+        if len(sub) == 0:
+            continue
+        mat = np.stack(sub[vec_col].to_numpy())
+        sims = mat @ qmat[qi]
+        order = sorted(
+            zip(sims.tolist(), sub[id_col].tolist()), key=lambda t: (-t[0], t[1])
+        )[:k]
+        for rank, (sim, nid) in enumerate(order):
+            rows.append((int(qid), int(nid), round(float(sim), 6), rank + 1))
+    return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "cosine", "rank"])

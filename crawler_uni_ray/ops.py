@@ -1,0 +1,124 @@
+"""Generic scalable relational primitives on ray.data.Dataset.
+
+The bucket trick used throughout: Ray Data's ``groupby(key)`` physically
+shuffles by ``key`` and applies ``map_groups`` once per DISTINCT key — a
+Python call per group, which dies at millions of tiny groups (e.g. dedup by
+url).  Instead we bucket by ``hash(key) % n_buckets`` and run ONE vectorized
+pandas/arrow operation per bucket: the shuffle moves the same rows, but the
+per-group Python overhead collapses to ``n_buckets`` calls.  All keyed rows
+land in the same bucket, so per-key semantics (dedup-first, per-host budget)
+stay exact.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .urlnorm import url_hash_batch
+
+from ray.data import Dataset
+
+
+def add_hash_bucket(
+    ds: Dataset, key: str, n_buckets: int, col: str = "__bucket"
+) -> Dataset:
+    """Append ``hash(key) % n_buckets`` as an int64 column (deterministic
+    siphash — stable across processes)."""
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        h = url_hash_batch(t[key].to_pylist()) % n_buckets
+        return t.append_column(col, pa.array(h.astype(np.int64)))
+
+    return ds.map_batches(_bucket, batch_format="pyarrow")
+
+
+def dedup_exact(ds: Dataset, key: str, n_buckets: int = 64) -> Dataset:
+    """Keep one arbitrary-but-deterministic row per distinct ``key``
+    (lowest original order within bucket).  Hash-bucket shuffle + one
+    ``drop_duplicates`` per bucket — the scalable form of the reference's
+    ``set`` membership (/root/reference/crawler.py:14-15,58,67)."""
+    bucketed = add_hash_bucket(ds, key, n_buckets)
+
+    def _dedup(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(subset=[key]).drop(columns=["__bucket"])
+
+    return bucketed.groupby("__bucket").map_groups(_dedup, batch_format="pandas")
+
+
+def dedup_exact_first(
+    ds: Dataset, key: str, order_col: str, n_buckets: int = 64
+) -> Dataset:
+    """Keep the row with the MINIMAL ``order_col`` per distinct ``key`` —
+    deterministic 'first' semantics (e.g. min doc_id per text hash)."""
+    bucketed = add_hash_bucket(ds, key, n_buckets)
+
+    def _dedup(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order_col, kind="mergesort")
+        return g.drop_duplicates(subset=[key]).drop(columns=["__bucket"])
+
+    return bucketed.groupby("__bucket").map_groups(_dedup, batch_format="pandas")
+
+
+def anti_join_broadcast(ds: Dataset, key: str, keys_ref) -> Dataset:
+    """``ds`` rows whose ``key`` is NOT in the broadcast key set.
+    ``keys_ref`` is a ``ray.put`` ObjectRef of a Python set (or a plain
+    set for driver-side use).  The scalable semi/anti-join pattern for a
+    small-enough key side (ray_guide: broadcast, don't shuffle)."""
+    import ray
+
+    class _Anti:
+        def __init__(self) -> None:
+            self._keys = None
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if self._keys is None:
+                self._keys = (
+                    ray.get(keys_ref) if isinstance(keys_ref, ray.ObjectRef) else keys_ref
+                )
+            vals = t[key].to_pylist()
+            mask = np.fromiter(
+                (v not in self._keys for v in vals), dtype=bool, count=len(vals)
+            )
+            return t.filter(pa.array(mask))
+
+    return ds.map_batches(_Anti(), batch_format="pyarrow")
+
+
+def anti_join_shuffled(
+    left: Dataset, right: Dataset, key: str, n_buckets: int = 64
+) -> Dataset:
+    """Exact distributed anti-join (left ∖ right on ``key``) when BOTH sides
+    are large: tag provenance, union, hash-bucket shuffle, and per bucket
+    keep left rows whose key has no right row.  Ray Data has no native
+    anti-join (SURVEY.md §2.5 J2); this is the explicit partitioned form."""
+    lschema = left.schema()
+    pa_schema = getattr(lschema, "base_schema", None)
+    lcols = list(lschema.names)
+
+    def _tag(flag: int):
+        def f(t: pa.Table) -> pa.Table:
+            return t.append_column("__is_left", pa.array([flag] * len(t), pa.int8()))
+
+        return f
+
+    lt = left.map_batches(_tag(1), batch_format="pyarrow")
+    rt = right.select_columns([key]).map_batches(_tag(0), batch_format="pyarrow")
+    # align schemas: right side lacks left's other columns → add nulls
+    def _pad(t: pa.Table) -> pa.Table:
+        for name in lcols:
+            if name not in t.column_names:
+                typ = pa_schema.field(name).type if pa_schema is not None else pa.null()
+                t = t.append_column(name, pa.nulls(len(t), type=typ))
+        return t.select([*lcols, "__is_left"])
+
+    rt = rt.map_batches(_pad, batch_format="pyarrow")
+    both = add_hash_bucket(lt.union(rt), key, n_buckets)
+
+    def _anti(g: pd.DataFrame) -> pd.DataFrame:
+        right_keys = set(g.loc[g["__is_left"] == 0, key])
+        keep = g[(g["__is_left"] == 1) & ~g[key].isin(right_keys)]
+        return keep.drop(columns=["__bucket", "__is_left"])
+
+    return both.groupby("__bucket").map_groups(_anti, batch_format="pandas")

@@ -1,0 +1,552 @@
+"""The synchronous-BFS crawl driver loop (SURVEY.md §3.2) — the Ray-Data
+re-expression of the reference's thread/queue worker loop
+(/root/reference/crawler.py:48-91).
+
+Each BFS level runs:
+
+    frontier_k → seen-filter (ShardedSeen actors) → robots gate [NR]
+              → per-host politeness schedule with skew salting [NR]
+              → mark-seen → fetch (corpus replay) → extract
+              → checkpoint level artifacts
+
+The level barrier (checkpoint write + re-read) is what makes BFS ordering
+and resume EXACT: a level is a pure function of (frontier_k, seen_{k-1},
+corpus), committed atomically by writing ``manifest.json`` last after a
+tmp-dir rename.  Resume finds the max committed level, replays the
+``results`` url columns into fresh seen shards, and restarts from the
+stored ``frontier_next``.  The reference's broken SIGINT partial save
+(crawler.py:104-109 calls an undefined ``stop()``) is subsumed: every
+completed level is durable.
+
+Two physical paths per level, SAME semantics (shared pure kernels:
+schedule_flags_pandas, robots_mask, the seen RPC interface):
+
+* **distributed** (``n_frontier > small_level_rows``): the control-plane
+  stages (seen filter, robots, bucketed scheduling, frontier dedup) run as
+  Dataset shuffles/map_batches — the 100 TB shape.
+* **small-level fast path**: a BFS frontier level that fits comfortably on
+  the driver (default ≤ 50k rows — seeds, crawl tails, test corpora) runs
+  its control plane as vectorized driver-side Arrow/pandas + batched actor
+  RPCs, avoiding several fixed-cost Ray executions per level.  Fetch +
+  extract — the payload-heavy data plane — stays a distributed Dataset
+  pipeline in BOTH paths (html never transits the driver).
+
+Checkpoint layout::
+
+    ckpt/level_K/results/part-*.parquet        url,host,depth,fetch_status,n_outlinks,text,outlinks
+    ckpt/level_K/frontier_next/part-*.parquet  url,host,depth,priority
+    ckpt/level_K/manifest.json                 written LAST = commit record
+
+(outlinks are stored inside results as a list<string> column and exploded
+on demand by ``outlinks_dataset`` — one write per level, not two.)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+import ray.data
+from ray.data import Dataset
+
+from ..ops import dedup_exact
+from ..stages.extract_stage import extract_stage, flatten_outlinks
+from ..stages.fetch import fetch_broadcast, fetch_join, fetch_partitioned
+from ..stages.frontier import FRONTIER_SCHEMA
+from ..stages.robots import _build_parsers, robots_filter, robots_mask
+from ..stages.schedule import schedule_flags_pandas, schedule_level
+from ..stages.seen_stage import seen_add, seen_filter
+from ..state.seen import ShardedSeen
+from ..urlnorm import hosts_batch, in_scope_batch
+
+
+@dataclass
+class CrawlConfig:
+    domain: str
+    ckpt_dir: str
+    corpus_path: str | None = None  # hash-partitioned parquet dir (scale path)
+    corpus_dict: dict[str, bytes] | None = None  # in-memory corpus (tests)
+    seeds: list[str] | None = None  # default: [f"https://{domain}"] (crawler.py:76)
+    budget: int | None = None  # [NR] per-host fetches per level; None = unlimited
+    robots: dict[str, str] | None = None  # [NR] host → robots.txt body
+    seen_backend: str = "exact"  # "exact" | "bloom"
+    num_seen_shards: int = 4
+    bloom_bits: int = 1 << 24
+    fetch_mode: str = "auto"  # auto | broadcast | join | partitioned
+    num_corpus_shards: int = 8  # partitioning of corpus_path
+    n_buckets: int = 32  # scheduling/dedup hash buckets
+    n_salts: int = 8
+    skew_threshold: int | None = None
+    max_levels: int = 1000
+    extract_batch_size: int = 256
+    small_level_rows: int = 50_000  # driver fast-path threshold (0 = always distributed)
+    driver_fetch_rows: int = 2000  # broadcast-mode only: fetch+extract tiny
+    # levels on the driver (same pure kernels; 0 = never)
+
+
+@dataclass
+class LevelMetrics:
+    level: int
+    n_frontier: int
+    n_candidates: int
+    n_scheduled: int
+    n_deferred: int
+    n_fetched: int
+    n_fetch_miss: int
+    n_outlinks: int
+    n_frontier_next: int
+    path: str = "distributed"
+    extra: dict = field(default_factory=dict)
+
+
+def _read_parquet_dir(path: str, schema: pa.Schema) -> Dataset:
+    """read_parquet that tolerates an empty/absent artifact dir."""
+    files = _parquet_files(path)
+    if not files:
+        return ray.data.from_arrow(schema.empty_table())
+    return ray.data.read_parquet(files)
+
+
+def _parquet_files(path: str) -> list[str]:
+    if not os.path.isdir(path):
+        return []
+    return [
+        os.path.join(path, f) for f in sorted(os.listdir(path)) if f.endswith(".parquet")
+    ]
+
+
+def _read_table(path: str, schema: pa.Schema, columns=None) -> pa.Table:
+    files = _parquet_files(path)
+    if not files:
+        t = schema.empty_table()
+        return t.select(columns) if columns else t
+    return pa.concat_tables(pq.read_table(f, columns=columns) for f in files)
+
+
+def _count_rows(path: str) -> int:
+    return sum(pq.ParquetFile(f).metadata.num_rows for f in _parquet_files(path))
+
+
+def _write_atomic(ds: Dataset, final_dir: str) -> int:
+    """write_parquet into a tmp dir, rename into place (a crashed write
+    leaves only a tmp dir, never a half-committed artifact)."""
+    tmp = final_dir + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(final_dir, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    ds.write_parquet(tmp)
+    os.rename(tmp, final_dir)
+    return _count_rows(final_dir)
+
+
+def _write_atomic_table(tbl: pa.Table, final_dir: str) -> int:
+    """Driver-side single-file variant for small artifacts."""
+    tmp = final_dir + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(final_dir, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    pq.write_table(tbl, os.path.join(tmp, "part-0.parquet"))
+    os.rename(tmp, final_dir)
+    return tbl.num_rows
+
+
+class CrawlEngine:
+    RESULTS_SCHEMA = pa.schema(
+        [
+            ("url", pa.string()),
+            ("host", pa.string()),
+            ("depth", pa.int32()),
+            ("fetch_status", pa.int32()),
+            ("n_outlinks", pa.int32()),
+            ("text", pa.string()),
+            ("outlinks", pa.list_(pa.string())),
+        ]
+    )
+    OUTLINKS_SCHEMA = pa.schema(
+        [
+            ("src_url", pa.string()),
+            ("url", pa.string()),
+            ("host", pa.string()),
+            ("in_scope", pa.bool_()),
+            ("depth", pa.int32()),
+        ]
+    )
+
+    def __init__(self, config: CrawlConfig):
+        self.cfg = config
+        self.metrics: list[LevelMetrics] = []
+        self.seen = ShardedSeen(
+            num_shards=config.num_seen_shards,
+            backend=config.seen_backend,
+            n_bits=config.bloom_bits,
+        )
+        self._corpus_ref = None
+        mode = config.fetch_mode
+        if mode == "auto":
+            mode = "broadcast" if config.corpus_dict is not None else "partitioned"
+        self._fetch_mode = mode
+        if mode == "broadcast":
+            corpus = config.corpus_dict
+            if corpus is None:
+                corpus = self._load_corpus_dict(config.corpus_path)
+            self._corpus_ref = ray.put(corpus)
+        self._robots_ref = ray.put(config.robots) if config.robots else None
+        self._robots_parsers = _build_parsers(config.robots) if config.robots else None
+        self._pages_ds = None
+
+    @staticmethod
+    def _load_corpus_dict(path: str) -> dict[str, bytes]:
+        import pyarrow.dataset as pads
+
+        tbl = pads.dataset(path).to_table(columns=["url", "html"])
+        return dict(zip(tbl["url"].to_pylist(), tbl["html"].to_pylist()))
+
+    # ----------------------------------------------------------- ckpt paths
+    def _lvl(self, k: int, name: str = "") -> str:
+        p = os.path.join(self.cfg.ckpt_dir, f"level_{k:04d}")
+        return os.path.join(p, name) if name else p
+
+    def committed_levels(self) -> list[int]:
+        out = []
+        if os.path.isdir(self.cfg.ckpt_dir):
+            for d in sorted(os.listdir(self.cfg.ckpt_dir)):
+                if d.startswith("level_") and os.path.exists(
+                    os.path.join(self.cfg.ckpt_dir, d, "manifest.json")
+                ):
+                    out.append(int(d.split("_")[1]))
+        return out
+
+    # ----------------------------------------------------------- fetch dispatch
+    def _fetch(self, scheduled: Dataset) -> Dataset:
+        if self._fetch_mode == "broadcast":
+            return fetch_broadcast(scheduled, self._corpus_ref)
+        if self._fetch_mode == "join":
+            if self._pages_ds is None:
+                self._pages_ds = ray.data.read_parquet(
+                    self.cfg.corpus_path, columns=["url", "html"]
+                )
+            return fetch_join(scheduled, self._pages_ds, num_partitions=self.cfg.n_buckets)
+        return fetch_partitioned(
+            scheduled, self.cfg.corpus_path, self.cfg.num_corpus_shards
+        )
+
+    def _fetch_extract_write(self, scheduled: Dataset, k: int) -> int:
+        """The data plane: fetch + extract + results write — always a
+        distributed Dataset pipeline (html payloads never hit the driver)."""
+        marked = seen_add(scheduled, self.seen)
+        fetched = self._fetch(marked)
+        results = extract_stage(fetched, depth=k, batch_size=self.cfg.extract_batch_size)
+        return _write_atomic(results, self._lvl(k, "results"))
+
+    def _results_miss_count(self, k: int) -> int:
+        n_miss = 0
+        for f in _parquet_files(self._lvl(k, "results")):
+            t = pq.read_table(f, columns=["fetch_status"])
+            n_miss += t.num_rows - int(pa.compute.sum(t["fetch_status"]).as_py() or 0)
+        return n_miss
+
+    # ----------------------------------------------------------- level step
+    def _run_level_small(self, k: int, frontier_tbl: pa.Table) -> int:
+        """Driver fast path: control plane as vectorized Arrow/pandas +
+        batched seen-actor RPCs; data plane distributed (see module doc)."""
+        cfg = self.cfg
+        n_frontier = frontier_tbl.num_rows
+        urls = frontier_tbl["url"].to_pylist()
+        mask = ~self.seen.contains(urls)
+        if self._robots_parsers is not None:
+            mask &= robots_mask(
+                urls, frontier_tbl["host"].to_pylist(), self._robots_parsers
+            )
+        cand = frontier_tbl.filter(pa.array(mask))
+        df = cand.select(["url", "host", "priority"]).to_pandas()
+        flags = schedule_flags_pandas(df, cfg.budget)
+        scheduled_tbl = cand.filter(pa.array(flags))
+        deferred_tbl = cand.filter(pa.array(~flags))
+
+        if scheduled_tbl.num_rows == 0:
+            n_results = _write_atomic_table(
+                self.RESULTS_SCHEMA.empty_table(), self._lvl(k, "results")
+            )
+        elif (
+            self._fetch_mode == "broadcast"
+            and self.cfg.corpus_dict is not None
+            and scheduled_tbl.num_rows <= self.cfg.driver_fetch_rows
+        ):
+            # tiny level + in-memory corpus: run the identical pure kernels
+            # (extract_batch) driver-side — no Ray execution round-trip
+            from ..stages.extract_stage import extract_batch
+
+            self.seen.add(scheduled_tbl["url"].to_pylist())
+            corpus = self.cfg.corpus_dict
+            htmls = [corpus.get(u) for u in scheduled_tbl["url"].to_pylist()]
+            fetched = pa.array([h is not None for h in htmls])
+            inp = scheduled_tbl.append_column(
+                "html", pa.array(htmls, pa.binary())
+            ).append_column("fetched", fetched)
+            n_results = _write_atomic_table(
+                extract_batch(inp, depth=k), self._lvl(k, "results")
+            )
+        else:
+            n_results = self._fetch_extract_write(
+                ray.data.from_arrow(scheduled_tbl), k
+            )
+
+        # next frontier = in-scope outlinks ∪ deferred, exact-deduped on url
+        res = _read_table(
+            self._lvl(k, "results"), self.RESULTS_SCHEMA, columns=["url", "outlinks"]
+        )
+        flat = pa.compute.list_flatten(res["outlinks"])
+        out_urls = flat.to_pylist()
+        n_outlinks = len(out_urls)
+        out_hosts = hosts_batch(out_urls)
+        out_scope = np.asarray(in_scope_batch(out_urls, cfg.domain), dtype=bool)
+        next_df = pd.DataFrame(
+            {
+                "url": np.asarray(out_urls, dtype=object)[out_scope],
+                "host": out_hosts[out_scope],
+            }
+        )
+        next_df["depth"] = np.int32(k + 1)
+        next_df["priority"] = 0.0
+        if deferred_tbl.num_rows:
+            next_df = pd.concat([next_df, deferred_tbl.to_pandas()], ignore_index=True)
+        next_df = next_df.drop_duplicates(subset=["url"])
+        next_tbl = pa.Table.from_pandas(next_df, schema=FRONTIER_SCHEMA, preserve_index=False)
+        n_next = _write_atomic_table(next_tbl, self._lvl(k, "frontier_next"))
+
+        self._finish_level(
+            k,
+            LevelMetrics(
+                level=k,
+                n_frontier=n_frontier,
+                n_candidates=cand.num_rows,
+                n_scheduled=n_results,
+                n_deferred=deferred_tbl.num_rows,
+                n_fetched=n_results - self._results_miss_count(k),
+                n_fetch_miss=self._results_miss_count(k),
+                n_outlinks=n_outlinks,
+                n_frontier_next=n_next,
+                path="small",
+            ),
+        )
+        return n_next
+
+    def _run_level_big(self, k: int, frontier: Dataset, n_frontier: int) -> int:
+        """Distributed path: every control-plane stage is a Dataset op."""
+        cfg = self.cfg
+        candidates = seen_filter(frontier, self.seen)
+        if self._robots_ref is not None:
+            candidates = robots_filter(candidates, self._robots_ref)
+
+        flagged = None
+        if cfg.budget is None:
+            scheduled = candidates
+            deferred = ray.data.from_arrow(FRONTIER_SCHEMA.empty_table())
+        else:
+            flagged = schedule_level(
+                candidates,
+                cfg.budget,
+                n_buckets=cfg.n_buckets,
+                n_salts=cfg.n_salts,
+                skew_threshold=cfg.skew_threshold,
+            ).materialize()  # level working set: reused by scheduled+deferred branches
+
+            def _split(keep: bool):
+                def f(t: pa.Table) -> pa.Table:
+                    m = np.asarray(t["scheduled"].to_pylist(), dtype=bool)
+                    return t.filter(pa.array(m if keep else ~m)).drop_columns(
+                        ["scheduled"]
+                    )
+
+                return f
+
+            scheduled = flagged.map_batches(_split(True), batch_format="pyarrow")
+            deferred = flagged.map_batches(_split(False), batch_format="pyarrow")
+
+        if self._fetch_mode == "join":
+            # ray 2.49 Dataset.join raises on a fully-empty left side
+            scheduled = scheduled.materialize()
+            if scheduled.count() == 0:
+                n_results = _write_atomic_table(
+                    self.RESULTS_SCHEMA.empty_table(), self._lvl(k, "results")
+                )
+            else:
+                n_results = self._fetch_extract_write(scheduled, k)
+        else:
+            n_results = self._fetch_extract_write(scheduled, k)
+
+        results_ds = _read_parquet_dir(self._lvl(k, "results"), self.RESULTS_SCHEMA)
+        outlinks = flatten_outlinks(results_ds, cfg.domain)
+
+        def _next_rows(t: pa.Table) -> pa.Table:
+            m = np.asarray(t["in_scope"].to_pylist(), dtype=bool)
+            t = t.filter(pa.array(m))
+            return pa.Table.from_arrays(
+                [
+                    t["url"].combine_chunks(),
+                    t["host"].combine_chunks(),
+                    t["depth"].combine_chunks(),
+                    pa.array([0.0] * len(t), pa.float64()),
+                ],
+                schema=FRONTIER_SCHEMA,
+            )
+
+        next_candidates = outlinks.map_batches(_next_rows, batch_format="pyarrow").union(
+            deferred
+        )
+        frontier_next = dedup_exact(next_candidates, "url", n_buckets=cfg.n_buckets)
+        n_next = _write_atomic(frontier_next, self._lvl(k, "frontier_next"))
+
+        n_cand = flagged.count() if flagged is not None else n_results
+        n_miss = self._results_miss_count(k)
+        self._finish_level(
+            k,
+            LevelMetrics(
+                level=k,
+                n_frontier=n_frontier,
+                n_candidates=n_cand,
+                n_scheduled=n_results,
+                n_deferred=n_cand - n_results,
+                n_fetched=n_results - n_miss,
+                n_fetch_miss=n_miss,
+                n_outlinks=-1,  # not separately counted on this path
+                n_frontier_next=n_next,
+                path="distributed",
+            ),
+        )
+        return n_next
+
+    def _finish_level(self, k: int, m: LevelMetrics) -> None:
+        self.metrics.append(m)
+        self._commit_manifest(k, m)
+
+    def _commit_manifest(self, k: int, m: LevelMetrics) -> None:
+        """The commit record — written last.  Per-partition lineage: every
+        artifact file with its row count (north_rule: per-partition
+        lineage + metrics)."""
+        lineage = {}
+        for art in ("results", "frontier_next"):
+            d = self._lvl(k, art)
+            lineage[art] = [
+                {"file": os.path.basename(f), "rows": pq.ParquetFile(f).metadata.num_rows}
+                for f in _parquet_files(d)
+            ]
+        manifest = {"level": k, "metrics": m.__dict__, "partitions": lineage}
+        tmp = self._lvl(k, "manifest.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1, default=str)
+        os.rename(tmp, self._lvl(k, "manifest.json"))
+
+    # ----------------------------------------------------------- entry points
+    def run(self) -> list[LevelMetrics]:
+        """Fresh crawl from the seed list."""
+        shutil.rmtree(self.cfg.ckpt_dir, ignore_errors=True)
+        os.makedirs(self.cfg.ckpt_dir, exist_ok=True)
+        seeds = self.cfg.seeds or [f"https://{self.cfg.domain}"]
+        tbl = pa.Table.from_arrays(
+            [
+                pa.array(seeds, pa.string()),
+                pa.array(list(hosts_batch(seeds)), pa.string()),
+                pa.array([0] * len(seeds), pa.int32()),
+                pa.array([0.0] * len(seeds), pa.float64()),
+            ],
+            schema=FRONTIER_SCHEMA,
+        )
+        return self._loop(0, seed_tbl=tbl)
+
+    def resume(self) -> list[LevelMetrics]:
+        """Restart after the last committed level: replay seen deltas from
+        durable results, reload the stored next frontier."""
+        done = self.committed_levels()
+        if not done:
+            return self.run()
+        last = max(done)
+        # drop any uncommitted partial level directories
+        for d in list(os.listdir(self.cfg.ckpt_dir)):
+            if d.startswith("level_") and int(d.split("_")[1]) > last:
+                shutil.rmtree(os.path.join(self.cfg.ckpt_dir, d), ignore_errors=True)
+        for k in done:
+            for f in _parquet_files(self._lvl(k, "results")):
+                self.seen.add(pq.read_table(f, columns=["url"])["url"].to_pylist())
+        return self._loop(last + 1)
+
+    def _loop(self, start: int, seed_tbl: pa.Table | None = None) -> list[LevelMetrics]:
+        cfg = self.cfg
+        k = start
+        while k < cfg.max_levels:
+            if seed_tbl is not None and k == start:
+                n_frontier, src = seed_tbl.num_rows, None
+            else:
+                src = self._lvl(k - 1, "frontier_next")
+                n_frontier = _count_rows(src)
+            if n_frontier == 0:
+                break
+            if n_frontier <= cfg.small_level_rows:
+                tbl = (
+                    seed_tbl
+                    if src is None
+                    else _read_table(src, FRONTIER_SCHEMA)
+                )
+                n_next = self._run_level_small(k, tbl)
+            else:
+                ds = (
+                    ray.data.from_arrow(seed_tbl)
+                    if src is None
+                    else _read_parquet_dir(src, FRONTIER_SCHEMA)
+                )
+                n_next = self._run_level_big(k, ds, n_frontier)
+            if n_next == 0:
+                break
+            k += 1
+        return self.metrics
+
+    # ----------------------------------------------------------- artifacts
+    def results_dataset(self) -> Dataset:
+        files = []
+        for k in self.committed_levels():
+            files.extend(_parquet_files(self._lvl(k, "results")))
+        if not files:
+            return ray.data.from_arrow(self.RESULTS_SCHEMA.empty_table())
+        return ray.data.read_parquet(files)
+
+    def outlinks_dataset(self) -> Dataset:
+        """(src_url, url, host, in_scope, depth) — exploded on demand from
+        the per-level results' outlinks list column."""
+        return flatten_outlinks(self.results_dataset(), self.cfg.domain)
+
+    def all_links_sorted(self) -> Dataset:
+        """The reference's links.txt artifact (crawler.py:93-97): every
+        extracted link (in-scope or not), exact-deduped, globally sorted
+        (range-partitioned shuffle)."""
+        links = self.outlinks_dataset().select_columns(["url"])
+        return dedup_exact(links, "url", n_buckets=self.cfg.n_buckets).sort("url")
+
+    def visited_depth(self) -> dict[str, int]:
+        """url → level fetched (for conformance tests; small corpora)."""
+        out: dict[str, int] = {}
+        for k in self.committed_levels():
+            for f in _parquet_files(self._lvl(k, "results")):
+                t = pq.read_table(f, columns=["url", "depth"])
+                for u, d in zip(t["url"].to_pylist(), t["depth"].to_pylist()):
+                    out[u] = d
+        return out
+
+    def save_links_txt(self, filename: str) -> int:
+        """Conformance artifact: one sorted unique link per line, UTF-8 —
+        byte-equal to the reference's links.txt (crawler.py:93-97)."""
+        n = 0
+        with open(filename, "w", encoding="utf-8") as f:
+            for b in self.all_links_sorted().iter_batches(
+                batch_size=65536, batch_format="pyarrow"
+            ):
+                for u in b["url"].to_pylist():
+                    f.write(f"{u}\n")
+                    n += 1
+        return n

@@ -1,0 +1,344 @@
+"""Named query pipelines over the driver testdata (TESTDATA.md tables) +
+crawl/media demos — the implementations behind ``__ray_entry__.queries()``.
+
+Each SQL-checkable query names every computed column identically to its
+``oracle_sql()`` string (the driver hash-compares values after sorting
+columns by name).  Float aggregates are rounded in BOTH engines so
+summation order can't flip the hash.  Scale notes per query inline.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+from ray.data import Dataset
+from ray.data.aggregate import Count, Sum
+
+from ..functions import dedup as fdedup
+from ..functions import multimodal as fmedia
+from ..functions import similarity as fsim
+from ..functions import text as ftext
+from ..ops import anti_join_shuffled, dedup_exact_first
+from ..urlnorm import clean_url, host_of, is_in_scope
+from ..util import cached_get
+
+
+def _t(sf_dir: str, name: str) -> str:
+    return f"{sf_dir}/{name}.parquet"
+
+
+# ------------------------------------------------------------------ relational
+
+
+def lineitem_agg(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q1-shaped grouped aggregate with a per-batch computed column.
+    Scale: column-pruned read; the shuffle moves one partial row per
+    (flag,status) per block — Ray pre-aggregates Sum/Count internally."""
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=[
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+        ],
+    )
+
+    def _disc(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return t.append_column("disc_price", rev)
+
+    out = (
+        ds.map_batches(_disc, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_base_price"),
+            Sum("disc_price", alias_name="sum_disc_price"),
+            Count(alias_name="n_rows"),
+        )
+        .to_pandas()
+    )
+    for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
+        out[c] = out[c].round(2)
+    return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+def orders_topk(sf_dir: str) -> pd.DataFrame:
+    """Global top-k: distributed sort (range-partitioned) + limit."""
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+    out = (
+        ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False])
+        .limit(100)
+        .to_pandas()
+    )
+    return out
+
+
+def orders_by_mktsegment(sf_dir: str) -> pd.DataFrame:
+    """Hash join orders ⋈ customer, expressed the scale way: customer is
+    the SMALL side → broadcast once via ray.put + per-batch merge (no
+    shuffle of the big side; SURVEY.md §2.5 J3 pattern)."""
+    cust = pd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"])
+    cref = ray.put(cust)
+    ds = ray.data.read_parquet(_t(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
+
+    def _join_partial(df: pd.DataFrame) -> pd.DataFrame:
+        c = cached_get(cref)
+        m = df.merge(c, left_on="o_custkey", right_on="c_custkey", how="inner")
+        g = m.groupby("c_mktsegment", as_index=False).agg(
+            n_orders=("o_totalprice", "size"), total_price=("o_totalprice", "sum")
+        )
+        return g  # per-batch partial → tiny final combine
+
+    partial = ds.map_batches(_join_partial, batch_format="pandas")
+    out = (
+        partial.groupby("c_mktsegment")
+        .aggregate(Sum("n_orders", alias_name="n_orders"), Sum("total_price", alias_name="total_price"))
+        .to_pandas()
+    )
+    out["n_orders"] = out["n_orders"].astype("int64")
+    out["total_price"] = out["total_price"].round(2)
+    return out.sort_values("c_mktsegment").reset_index(drop=True)
+
+
+def customers_without_orders(sf_dir: str) -> pd.DataFrame:
+    """Distributed anti-join (no native Ray op — explicit bucketed form)."""
+    cust = ray.data.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey"])
+    orders = ray.data.read_parquet(_t(sf_dir, "orders"), columns=["o_custkey"])
+
+    def _ren(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["c_custkey"])
+
+    out = anti_join_shuffled(
+        cust, orders.map_batches(_ren, batch_format="pyarrow"), "c_custkey", n_buckets=16
+    ).to_pandas()
+    if "c_custkey" not in out.columns:  # empty result → schema-less pandas
+        out = pd.DataFrame({"c_custkey": pd.Series([], dtype="int64")})
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+def events_by_type(sf_dir: str) -> pd.DataFrame:
+    ds = ray.data.read_parquet(_t(sf_dir, "events"), columns=["event_type", "value"])
+    out = (
+        ds.groupby("event_type")
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="total_value"))
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype("int64")
+    out["total_value"] = out["total_value"].round(2)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def events_windowed(sf_dir: str) -> pd.DataFrame:
+    """Tumbling 1-hour event-time window per user: bucket computed
+    vectorized per batch, then grouped — the batch-engine form of a
+    streaming window (ray_guide: streaming-shaped workloads)."""
+    ds = ray.data.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts", "value"])
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.int64())  # epoch microseconds
+        hour = pc.divide(us, 3_600_000_000)
+        return t.append_column("hour_bucket", hour)
+
+    out = (
+        ds.map_batches(_bucket, batch_format="pyarrow")
+        .groupby(["user_id", "hour_bucket"])
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="total_value"))
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype("int64")
+    out["total_value"] = out["total_value"].round(2)
+    return out.sort_values(["user_id", "hour_bucket"]).reset_index(drop=True)
+
+
+def docs_distinct_langs(sf_dir: str) -> pd.DataFrame:
+    """Distinct values via groupby-count (`unique` without driver collect)."""
+    ds = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["lang"])
+    out = ds.groupby("lang").aggregate(Count(alias_name="n_docs")).to_pandas()
+    out["n_docs"] = out["n_docs"].astype("int64")
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+# ------------------------------------------------------------------ dedup / text / similarity
+
+
+def docs_dedup_exact(sf_dir: str) -> pd.DataFrame:
+    ds = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = fdedup.exact_dedup(ds, "text", "doc_id").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def docs_text_stats(sf_dir: str) -> pd.DataFrame:
+    ds = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = ftext.text_stats(ds).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def docs_langid(sf_dir: str) -> pd.DataFrame:
+    ds = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = ftext.add_lang_id(ds).to_pandas()[["doc_id", "lang_pred", "lang_score"]]
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def docs_quality(sf_dir: str) -> pd.DataFrame:
+    ds = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = ftext.add_quality_score(ds).to_pandas()[
+        ["doc_id", "punct_ratio", "stop_ratio", "quality"]
+    ]
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def docs_token_counts(sf_dir: str) -> pd.DataFrame:
+    ds = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = ftext.add_token_counts(ds).to_pandas()[["doc_id", "n_tokens", "n_bpe_tokens"]]
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def docs_fingerprint(sf_dir: str) -> pd.DataFrame:
+    ds = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = ftext.add_fingerprint(ds).to_pandas()[["doc_id", "fingerprint"]]
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def docs_minhash_clusters(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
+    """MinHash-LSH near-dup clustering: every doc → its cluster
+    representative (itself when unique)."""
+    ds = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    pairs = fdedup.minhash_lsh_candidates(ds, n_hashes=64, bands=16)
+    docs = pd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    texts_ref = ray.put(dict(zip(docs["doc_id"], docs["text"])))
+    verified = fdedup.verify_pairs_jaccard(pairs, texts_ref, threshold).to_pandas()
+    comp = fdedup.connected_components(
+        list(zip(verified["id_a"].astype(int), verified["id_b"].astype(int)))
+    )
+    out = docs[["doc_id"]].copy()
+    out["cluster_id"] = [comp.get(int(d), int(d)) for d in out["doc_id"]]
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def docs_simhash(sf_dir: str) -> pd.DataFrame:
+    ds = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = fdedup.add_simhash(ds).to_pandas()[["doc_id", "simhash"]]
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def docs_simhash_pairs(sf_dir: str) -> pd.DataFrame:
+    ds = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = fdedup.simhash_dup_pairs(ds, max_hamming=3).to_pandas()
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def docs_ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.8) -> pd.DataFrame:
+    """n-gram Jaccard near-dup: LSH candidates verified by exact Jaccard."""
+    ds = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    pairs = fdedup.minhash_lsh_candidates(ds, n_hashes=64, bands=32)  # high recall
+    docs = pd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    texts_ref = ray.put(dict(zip(docs["doc_id"], docs["text"])))
+    out = fdedup.verify_pairs_jaccard(pairs, texts_ref, threshold).to_pandas()
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def _query_vectors(sf_dir: str, n: int = 8) -> tuple[np.ndarray, list[int]]:
+    emb = pd.read_parquet(_t(sf_dir, "embeddings"))
+    q = emb[emb["vec_id"] < n].sort_values("vec_id")
+    return np.stack(q["embedding"].to_numpy()).astype(np.float64), q["vec_id"].tolist()
+
+
+def embeddings_ann(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Exact cosine top-k (brute force baseline) for query vectors
+    vec_id < 8 — float64 math to match the SQL oracle."""
+    qmat, qids = _query_vectors(sf_dir)
+    ds = ray.data.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    out = fsim.ann_bruteforce(ds, qmat, qids, k=k)
+    return out[["query_id", "neighbor_id", "rank"]].rename(columns={"rank": "rnk"})
+
+
+def embeddings_ann_lsh(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    qmat, qids = _query_vectors(sf_dir)
+    ds = ray.data.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    out = fsim.ann_lsh(ds, qmat, qids, k=k)
+    return out.rename(columns={"rank": "rnk"})
+
+
+def embeddings_dup_pairs(sf_dir: str) -> pd.DataFrame:
+    ds = ray.data.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    out = fdedup.embedding_dup_pairs(ds, threshold=0.9).to_pandas()
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+# ------------------------------------------------------------------ crawl / url / media demos
+
+
+def url_canonicalize(sf_dir: str) -> pd.DataFrame:
+    """Canonicalizer as a batch op over a deterministic URL list (the
+    reference kernel, crawler.py:36-42)."""
+    hrefs = [
+        ("https://Ex.com/a/b.html", "p2.html"),
+        ("https://ex.com/a/", "/c?y=2&x=1#frag"),
+        ("https://ex.com/a/", "//cdn.ex.com/lib.js"),
+        ("https://ex.com/a/", "mailto:x@y"),
+        ("https://ex.com/a/", "page.html;sid=1"),
+        ("https://ex.com/a/", "#top"),
+        ("https://ex.com:8080/", "x"),
+        ("https://user:pw@ex.com/", "y"),
+    ] * 64
+    ds = ray.data.from_items(
+        [{"i": i, "base": b, "href": h} for i, (b, h) in enumerate(hrefs)]
+    )
+
+    def _clean(df: pd.DataFrame) -> pd.DataFrame:
+        df["cleaned"] = [
+            clean_url(h, b) or "" for h, b in zip(df["href"], df["base"])
+        ]
+        df["host"] = [host_of(u) for u in df["cleaned"]]
+        df["in_scope"] = [is_in_scope(u, "ex.com") for u in df["cleaned"]]
+        return df
+
+    return (
+        ds.map_batches(_clean, batch_format="pandas")
+        .to_pandas()
+        .sort_values("i")
+        .reset_index(drop=True)
+    )
+
+
+def crawl_bfs_visited(sf_dir: str) -> pd.DataFrame:
+    """Flagship: the full BFS crawl over the deterministic tiny corpus
+    (replay fetch), returning (url, depth) — conformance-tested against
+    the vendored oracle in tests/."""
+    import tempfile
+
+    from ..corpus import TINY, build_pages_table
+    from .crawl import CrawlConfig, CrawlEngine
+
+    tbl = build_pages_table(TINY)
+    corpus = dict(zip(tbl["url"].to_pylist(), tbl["html"].to_pylist()))
+    with tempfile.TemporaryDirectory() as ckpt:
+        eng = CrawlEngine(
+            CrawlConfig(domain="example.com", ckpt_dir=ckpt, corpus_dict=corpus)
+        )
+        eng.run()
+        vd = eng.visited_depth()
+    out = pd.DataFrame(sorted(vd.items()), columns=["url", "depth"])
+    out["depth"] = out["depth"].astype("int64")
+    return out
+
+
+def media_image_features(sf_dir: str) -> pd.DataFrame:
+    """Multimodal plumbing demo: actor-pool feature extraction over the
+    deterministic fake media corpus (decode stubbed — see multimodal.py)."""
+    ds = ray.data.from_arrow(fmedia.synthetic_media_table(96))
+    imgs = ds.filter(lambda r: r["kind"] == "image")
+    out = fmedia.image_features(imgs, concurrency=2).to_pandas()[
+        ["media_id", "feat_mean"]
+    ]
+    out["feat_mean"] = out["feat_mean"].astype(float).round(6)
+    return out.sort_values("media_id").reset_index(drop=True)

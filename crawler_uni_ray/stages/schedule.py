@@ -1,0 +1,149 @@
+"""Per-host politeness scheduling with skew salting — [NR] stage
+(north_rule; the reference has zero rate limiting — a tight loop on 10
+threads, /root/reference/crawler.py:75-83).
+
+Semantics (shared spec with oracle.py): per host and level, order
+candidates by ``(-priority, url)`` and keep the first ``budget``; the rest
+are DEFERRED (never dropped) and carry into the next level's frontier.
+
+Physical plan: hash-bucket the frontier by host (the single scheduling
+shuffle) and apply ONE vectorized pandas ranking per bucket.  Skew
+(north_rule: Zipf host mass): hosts whose candidate count exceeds
+``skew_threshold`` — found via a partial-count combiner, not a second full
+shuffle — get salted keys ``(host, url_hash % n_salts)`` so one hot host
+spreads over up to ``n_salts`` buckets; each salted sub-queue keeps its
+local top-``budget`` (a superset of the global top-``budget``), then a tiny
+second per-host pass re-trims exactly.  Net effect ≡ unsalted plan
+(SURVEY.md §4.4), but no single bucket holds a hot host's full mass.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from ray.data import Dataset
+
+from ..urlnorm import url_hash_batch
+
+
+def host_counts(ds: Dataset, url_col: str = "url") -> pd.DataFrame:
+    """(host, n) via per-batch partial counts → groupby-sum over partials
+    (combiner pattern: the shuffle moves one row per host per batch, not
+    one per URL)."""
+
+    def _partial(t: pa.Table) -> pa.Table:
+        vc = pd.Series(t["host"].to_pylist()).value_counts()
+        return pa.Table.from_arrays(
+            [pa.array(vc.index.astype(str)), pa.array(vc.to_numpy(dtype=np.int64))],
+            names=["host", "n"],
+        )
+
+    from ray.data.aggregate import Sum
+
+    out = ds.map_batches(_partial, batch_format="pyarrow").groupby("host").aggregate(
+        Sum("n", alias_name="n")
+    )
+    return out.to_pandas()  # one row per host — metadata-sized
+
+
+def _rank_within(g: pd.DataFrame, by: list[str]) -> np.ndarray:
+    order = g.sort_values(["priority", "url"], ascending=[False, True], kind="mergesort")
+    rank = order.groupby(by, sort=False).cumcount()
+    return rank.reindex(g.index).to_numpy()
+
+
+def schedule_flags_pandas(df: pd.DataFrame, budget: int | None) -> np.ndarray:
+    """Pure scheduling kernel: bool mask of rows kept under the per-host
+    budget, ordered by (-priority, url).  Shared by the distributed
+    per-bucket stage and the crawl loop's small-level driver path — ONE
+    source of truth for the politeness semantics (mirrored in oracle.py)."""
+    if budget is None or len(df) == 0:
+        return np.ones(len(df), dtype=bool)
+    return _rank_within(df, ["host"]) < budget
+
+
+def schedule_level(
+    ds: Dataset,
+    budget: int | None,
+    *,
+    n_buckets: int = 32,
+    n_salts: int = 8,
+    skew_threshold: int | None = None,
+) -> Dataset:
+    """Append a bool ``scheduled`` column; False rows are the deferred set.
+
+    ``budget=None`` → everything scheduled, zero shuffles (the pure
+    reference-semantics path).
+    """
+    if budget is None:
+
+        def _all(t: pa.Table) -> pa.Table:
+            return t.append_column("scheduled", pa.array(np.ones(len(t), dtype=bool)))
+
+        return ds.map_batches(_all, batch_format="pyarrow")
+
+    hot_hosts: set[str] = set()
+    if skew_threshold is not None:
+        hc = host_counts(ds)
+        hot_hosts = set(hc.loc[hc["n"] > skew_threshold, "host"])
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        hosts = np.asarray(t["host"].to_pylist(), dtype=object)
+        salts = np.zeros(len(hosts), dtype=np.int64)
+        if hot_hosts:
+            hot = np.fromiter((h in hot_hosts for h in hosts), bool, count=len(hosts))
+            if hot.any():
+                salts[hot] = (
+                    url_hash_batch(np.asarray(t["url"].to_pylist(), object)[hot])
+                    % n_salts
+                ).astype(np.int64)
+        keys = [f"{h}#{s}" for h, s in zip(hosts, salts)]
+        bucket = (url_hash_batch(keys) % n_buckets).astype(np.int64)
+        return t.append_column("__salt", pa.array(salts)).append_column(
+            "__bucket", pa.array(bucket)
+        )
+
+    def _local_schedule(g: pd.DataFrame) -> pd.DataFrame:
+        rank = _rank_within(g, ["host", "__salt"])
+        g = g.drop(columns=["__bucket"])
+        g["scheduled"] = rank < budget
+        return g
+
+    flagged = (
+        ds.map_batches(_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(_local_schedule, batch_format="pandas")
+    )
+    if not hot_hosts:
+        return flagged.drop_columns(["__salt"])
+
+    # hot hosts: local pass kept ≤ n_salts×budget per host; branch → re-trim
+    flagged = flagged.materialize()  # level working set — bounded, reused 3×
+    hot_ref = hot_hosts
+
+    def _is_hot(t: pa.Table, invert: bool = False) -> pa.Table:
+        hosts = t["host"].to_pylist()
+        m = np.fromiter((h in hot_ref for h in hosts), bool, count=len(hosts))
+        return t.filter(pa.array(~m if invert else m))
+
+    def _by_flag(keep: bool):
+        def f(t: pa.Table) -> pa.Table:
+            m = np.asarray(t["scheduled"].to_pylist(), dtype=bool)
+            return t.filter(pa.array(m if keep else ~m))
+
+        return f
+
+    cold = flagged.map_batches(lambda t: _is_hot(t, invert=True), batch_format="pyarrow")
+    hot = flagged.map_batches(_is_hot, batch_format="pyarrow")
+    hot_kept = hot.map_batches(_by_flag(True), batch_format="pyarrow")
+    hot_dropped = hot.map_batches(_by_flag(False), batch_format="pyarrow")
+
+    def _retrim(g: pd.DataFrame) -> pd.DataFrame:
+        rank = _rank_within(g, ["host"])
+        g = g.copy()
+        g["scheduled"] = rank < budget
+        return g
+
+    hot_final = hot_kept.groupby("host").map_groups(_retrim, batch_format="pandas")
+    return cold.union(hot_final).union(hot_dropped).drop_columns(["__salt"])

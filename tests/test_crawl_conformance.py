@@ -1,0 +1,161 @@
+"""Engine ≡ oracle conformance on the tiny corpus (FIXTURES.md §4):
+per-depth visited sets, sorted all_links, byte-identical text per url —
+never visit *sequences* (the reference's intra-level order is
+nondeterministic, SURVEY.md §2.8)."""
+
+import pytest
+
+from crawler_uni_ray.corpus import TINY, build_robots_table, host_name, write_corpus_parquet
+from crawler_uni_ray.oracle import crawl_oracle
+from crawler_uni_ray.pipelines.crawl import CrawlConfig, CrawlEngine
+from crawler_uni_ray.stages.robots import robots_table_to_dict
+
+DOMAIN = "example.com"
+DIS_HOST = host_name(TINY, 2)
+
+
+def _assert_conformance(eng: CrawlEngine, oracle, check_text=True):
+    assert eng.visited_depth() == oracle.visited_depth
+    links = [r["url"] for r in eng.all_links_sorted().take_all()]
+    assert links == oracle.sorted_links
+    if check_text:
+        texts = {}
+        for b in (
+            eng.results_dataset()
+            .select_columns(["url", "text", "fetch_status"])
+            .iter_batches(batch_format="pyarrow")
+        ):
+            for u, t, s in zip(
+                b["url"].to_pylist(), b["text"].to_pylist(), b["fetch_status"].to_pylist()
+            ):
+                if s:
+                    texts[u] = t
+        assert texts == oracle.text  # byte-identical extraction invariant
+
+
+@pytest.mark.parametrize("small_rows", [50_000, 0])
+def test_plain_bfs_conformance(ray_session, tiny_corpus, tmp_path, small_rows):
+    """small_rows=0 forces the fully-distributed control plane; the default
+    exercises the small-level driver fast path — identical semantics."""
+    oracle = crawl_oracle(tiny_corpus, DOMAIN)
+    eng = CrawlEngine(
+        CrawlConfig(
+            domain=DOMAIN,
+            ckpt_dir=str(tmp_path / "c"),
+            corpus_dict=tiny_corpus,
+            small_level_rows=small_rows,
+        )
+    )
+    eng.run()
+    _assert_conformance(eng, oracle)
+    # level metrics recorded + manifests committed
+    assert eng.committed_levels() == list(range(len(eng.metrics)))
+    assert eng.metrics[0].n_scheduled == 1  # the seed
+
+
+@pytest.mark.parametrize("small_rows", [50_000, 0])
+def test_politeness_budget_conformance(ray_session, tiny_corpus, tmp_path, small_rows):
+    oracle = crawl_oracle(tiny_corpus, DOMAIN, max_per_host_per_level=2)
+    eng = CrawlEngine(
+        CrawlConfig(
+            domain=DOMAIN,
+            ckpt_dir=str(tmp_path / "c"),
+            corpus_dict=tiny_corpus,
+            budget=2,
+            small_level_rows=small_rows,
+        )
+    )
+    eng.run()
+    _assert_conformance(eng, oracle)
+    assert any(m.n_deferred > 0 for m in eng.metrics)  # budget actually bound
+
+
+def test_skew_salting_equals_unsalted_plan(ray_session, tiny_corpus, tmp_path):
+    oracle = crawl_oracle(tiny_corpus, DOMAIN, max_per_host_per_level=2)
+    eng = CrawlEngine(
+        CrawlConfig(
+            domain=DOMAIN,
+            ckpt_dir=str(tmp_path / "c"),
+            corpus_dict=tiny_corpus,
+            budget=2,
+            skew_threshold=1,  # force every host through the salted path
+            n_salts=4,
+            small_level_rows=0,  # salting lives in the distributed path
+        )
+    )
+    eng.run()
+    _assert_conformance(eng, oracle, check_text=False)
+
+
+def test_robots_gate_conformance(ray_session, tiny_corpus, tmp_path):
+    robots = robots_table_to_dict(build_robots_table(TINY))
+    oracle = crawl_oracle(tiny_corpus, DOMAIN, robots=robots)
+    eng = CrawlEngine(
+        CrawlConfig(
+            domain=DOMAIN,
+            ckpt_dir=str(tmp_path / "c"),
+            corpus_dict=tiny_corpus,
+            robots=robots,
+        )
+    )
+    eng.run()
+    _assert_conformance(eng, oracle, check_text=False)
+    assert not [u for u in eng.visited_depth() if f"{DIS_HOST}/p1" in u]
+
+
+def test_bloom_backend_conformance(ray_session, tiny_corpus, tmp_path):
+    oracle = crawl_oracle(tiny_corpus, DOMAIN)
+    eng = CrawlEngine(
+        CrawlConfig(
+            domain=DOMAIN,
+            ckpt_dir=str(tmp_path / "c"),
+            corpus_dict=tiny_corpus,
+            seen_backend="bloom",
+            bloom_bits=1 << 22,
+        )
+    )
+    eng.run()
+    # bloom FPs could legally drop pages; at this corpus size the FP rate
+    # is ~0 so exact equality is expected
+    _assert_conformance(eng, oracle, check_text=False)
+
+
+def test_partitioned_fetch_conformance(ray_session, tiny_corpus, tmp_path):
+    corpus_dir = str(tmp_path / "corpus")
+    write_corpus_parquet(TINY, corpus_dir, num_shards=4)
+    oracle = crawl_oracle(tiny_corpus, DOMAIN)
+    eng = CrawlEngine(
+        CrawlConfig(
+            domain=DOMAIN,
+            ckpt_dir=str(tmp_path / "c"),
+            corpus_path=corpus_dir,
+            fetch_mode="partitioned",
+            num_corpus_shards=4,
+        )
+    )
+    eng.run()
+    _assert_conformance(eng, oracle, check_text=False)
+
+
+def test_join_fetch_conformance_two_levels(ray_session, tiny_corpus, tmp_path):
+    """Dataset.join fetch: the hash-shuffle join spins aggregator actors
+    per level, which is slow at 4 test CPUs — assert the first two BFS
+    levels only (semantics per level are identical)."""
+    corpus_dir = str(tmp_path / "corpus")
+    write_corpus_parquet(TINY, corpus_dir, num_shards=4)
+    oracle = crawl_oracle(tiny_corpus, DOMAIN)
+    eng = CrawlEngine(
+        CrawlConfig(
+            domain=DOMAIN,
+            ckpt_dir=str(tmp_path / "c"),
+            corpus_path=corpus_dir,
+            fetch_mode="join",
+            num_corpus_shards=4,
+            n_buckets=4,
+            max_levels=2,
+        )
+    )
+    eng.run()
+    got = eng.visited_depth()
+    want = {u: d for u, d in oracle.visited_depth.items() if d < 2}
+    assert got == want

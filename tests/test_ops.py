@@ -1,0 +1,49 @@
+"""Generic scalable primitives (ops.py) vs in-memory references."""
+
+import pandas as pd
+import pyarrow as pa
+
+
+def test_dedup_exact(ray_session):
+    import ray.data as rd
+
+    from crawler_uni_ray.ops import dedup_exact
+
+    tbl = pa.table({"url": [f"u{i % 37}" for i in range(500)], "v": list(range(500))})
+    out = dedup_exact(rd.from_arrow(tbl), "url", n_buckets=8).to_pandas()
+    assert sorted(out["url"]) == sorted(f"u{i}" for i in range(37))
+
+
+def test_dedup_exact_first(ray_session):
+    import ray.data as rd
+
+    from crawler_uni_ray.ops import dedup_exact_first
+
+    df = pd.DataFrame({"k": ["a", "b", "a", "b", "c"], "ord": [5, 2, 1, 9, 3]})
+    out = dedup_exact_first(rd.from_pandas(df), "k", "ord", n_buckets=4).to_pandas()
+    got = dict(zip(out["k"], out["ord"]))
+    assert got == {"a": 1, "b": 2, "c": 3}
+
+
+def test_anti_join_broadcast(ray_session):
+    import ray
+    import ray.data as rd
+
+    from crawler_uni_ray.ops import anti_join_broadcast
+
+    ds = rd.from_items([{"url": f"u{i}"} for i in range(20)])
+    ref = ray.put({f"u{i}" for i in range(0, 20, 2)})
+    out = anti_join_broadcast(ds, "url", ref).to_pandas()
+    assert sorted(out["url"]) == sorted(f"u{i}" for i in range(1, 20, 2))
+
+
+def test_anti_join_shuffled(ray_session):
+    import ray.data as rd
+
+    from crawler_uni_ray.ops import anti_join_shuffled
+
+    left = rd.from_items([{"url": f"u{i}", "x": i} for i in range(30)])
+    right = rd.from_items([{"url": f"u{i}"} for i in range(0, 30, 3)])
+    out = anti_join_shuffled(left, right, "url", n_buckets=4).to_pandas()
+    assert sorted(out["url"]) == sorted(f"u{i}" for i in range(30) if i % 3)
+    assert set(out.columns) == {"url", "x"}

@@ -1,0 +1,63 @@
+"""Checkpoint/resume (north_rule): kill after level K, resume with a FRESH
+engine (fresh seen actors), final artifacts identical to an uninterrupted
+run — levels are pure functions of (frontier_k, seen_{k-1}, corpus)."""
+
+from crawler_uni_ray.oracle import crawl_oracle
+from crawler_uni_ray.pipelines.crawl import CrawlConfig, CrawlEngine
+
+DOMAIN = "example.com"
+
+
+def test_resume_after_partial_run(ray_session, tiny_corpus, tmp_path):
+    oracle = crawl_oracle(tiny_corpus, DOMAIN)
+    ckpt = str(tmp_path / "ckpt")
+
+    partial = CrawlEngine(
+        CrawlConfig(domain=DOMAIN, ckpt_dir=ckpt, corpus_dict=tiny_corpus, max_levels=2)
+    )
+    partial.run()
+    assert partial.committed_levels() == [0, 1]
+
+    resumed = CrawlEngine(
+        CrawlConfig(domain=DOMAIN, ckpt_dir=ckpt, corpus_dict=tiny_corpus)
+    )
+    resumed.resume()
+    assert resumed.visited_depth() == oracle.visited_depth
+    links = [r["url"] for r in resumed.all_links_sorted().take_all()]
+    assert links == oracle.sorted_links
+
+
+def test_resume_discards_uncommitted_partial_level(ray_session, tiny_corpus, tmp_path):
+    import os
+    import shutil
+
+    ckpt = str(tmp_path / "ckpt")
+    partial = CrawlEngine(
+        CrawlConfig(domain=DOMAIN, ckpt_dir=ckpt, corpus_dict=tiny_corpus, max_levels=2)
+    )
+    partial.run()
+    # simulate a crash mid-level-2: results written but no manifest
+    broken = os.path.join(ckpt, "level_0002")
+    os.makedirs(os.path.join(broken, "results"), exist_ok=True)
+    shutil.copytree(
+        os.path.join(ckpt, "level_0001", "results"),
+        os.path.join(broken, "results"),
+        dirs_exist_ok=True,
+    )
+    resumed = CrawlEngine(
+        CrawlConfig(domain=DOMAIN, ckpt_dir=ckpt, corpus_dict=tiny_corpus)
+    )
+    resumed.resume()
+    oracle = crawl_oracle(tiny_corpus, DOMAIN)
+    assert resumed.visited_depth() == oracle.visited_depth
+
+
+def test_resume_on_empty_ckpt_runs_fresh(ray_session, tiny_corpus, tmp_path):
+    eng = CrawlEngine(
+        CrawlConfig(
+            domain=DOMAIN, ckpt_dir=str(tmp_path / "none"), corpus_dict=tiny_corpus,
+            max_levels=1,
+        )
+    )
+    eng.resume()
+    assert eng.committed_levels() == [0]
