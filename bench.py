@@ -1,15 +1,22 @@
 #!/usr/bin/env python
 """Benchmark runner (driver contract: prints ONE JSON line).
 
-Headline: the BFS crawl engine over a deterministic synthetic page corpus
-(hash-partitioned parquet, politeness budget + skew salting active, fully
-distributed control plane) — metric = wall seconds, plus URLs/sec.
-Secondary: representative training-data queries at $GRAFT_SF_DIR.
-
-``--scaling``: runs the bench twice in fresh processes at num_cpus=8 and
-num_cpus=32 on the SAME pre-generated input and reports both throughputs
-plus efficiency = (t8/t32)/4 — the sandbox evidence for the north_rule's
-N→4N criterion (SURVEY.md §4.6).
+Modes
+-----
+default        headline = full BFS crawl (politeness budget + skew salting,
+               distributed control plane) over a deterministic synthetic
+               corpus, plus representative training-data queries at
+               $GRAFT_SF_DIR.  value = crawl wall seconds.
+--level        the steady-state unit: ONE fully-distributed BFS level over
+               a frontier of every URL in the big corpus (seen-filter →
+               schedule → mark-seen → fetch → extract → checkpoint write).
+               At the 10^10-URL design point every level is huge and this
+               is where all wall-time goes; it is the job used for the
+               two-parallelism scaling evidence.
+--scaling      runs --level twice in fresh processes at num_cpus=8 and 32
+               on the SAME pre-generated input and reports both
+               throughputs + efficiency = (rate32/rate8)/4 (north_rule
+               N→4N criterion, sandboxed per SURVEY.md §4.6).
 """
 
 from __future__ import annotations
@@ -23,30 +30,42 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-BENCH_HOSTS = int(os.environ.get("GRAFT_BENCH_HOSTS", "50"))
-BENCH_PAGES = int(os.environ.get("GRAFT_BENCH_PAGES", "1000"))  # per host
+
+# full-crawl corpus (headline): BFS from one seed, budget + salting active
+CRAWL_HOSTS = int(os.environ.get("GRAFT_BENCH_HOSTS", "50"))
+CRAWL_PAGES = int(os.environ.get("GRAFT_BENCH_PAGES", "1000"))  # per host
+# single-level corpus (scaling): bigger + heavier pages so compute dominates
+LEVEL_HOSTS = int(os.environ.get("GRAFT_LEVEL_HOSTS", "50"))
+LEVEL_PAGES = int(os.environ.get("GRAFT_LEVEL_PAGES", "10000"))
+LEVEL_FILLER = int(os.environ.get("GRAFT_LEVEL_FILLER", "16"))
 CORPUS_SHARDS = 32
-CORPUS_DIR = f"/tmp/graft_bench_corpus_h{BENCH_HOSTS}_p{BENCH_PAGES}"
 
 
-def ensure_corpus() -> str:
-    """Generate the bench corpus ONCE (distributed, deterministic) into a
-    hash(url)-partitioned parquet layout; reused across runs/levels."""
-    marker = os.path.join(CORPUS_DIR, "_SUCCESS")
+def _corpus_dir(hosts: int, pages: int, filler: int) -> str:
+    return f"/tmp/graft_corpus_h{hosts}_p{pages}_f{filler}"
+
+
+def ensure_corpus(hosts: int, pages: int, filler: int) -> str:
+    """Generate a corpus ONCE (distributed, deterministic) into a
+    hash(url)-partitioned parquet layout; cached across runs."""
+    out_dir = _corpus_dir(hosts, pages, filler)
+    marker = os.path.join(out_dir, "_SUCCESS")
     if os.path.exists(marker):
-        return CORPUS_DIR
+        return out_dir
     import numpy as np
+    import pyarrow as pa
     import pyarrow.parquet as pq
-    import ray
     import ray.data
 
     from crawler_uni_ray.corpus import CorpusSpec, gen_rows
     from crawler_uni_ray.urlnorm import url_hash_batch
 
-    spec = CorpusSpec(n_hosts=BENCH_HOSTS, pages_per_host=BENCH_PAGES, hub_weight=0.5)
-    shutil.rmtree(CORPUS_DIR, ignore_errors=True)
+    spec = CorpusSpec(
+        n_hosts=hosts, pages_per_host=pages, hub_weight=0.5, filler_paras=filler
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
     for s in range(CORPUS_SHARDS):
-        os.makedirs(os.path.join(CORPUS_DIR, f"part_hash={s:02d}"), exist_ok=True)
+        os.makedirs(os.path.join(out_dir, f"part_hash={s:02d}"), exist_ok=True)
 
     def _gen(batch):
         ids = batch["id"]
@@ -54,25 +73,46 @@ def ensure_corpus() -> str:
         shard = (url_hash_batch(tbl["url"].to_pylist()) % CORPUS_SHARDS).astype(np.int64)
         first = int(ids[0])
         for s in set(shard.tolist()):
-            sub = tbl.filter(__import__("pyarrow").array(shard == s))
+            sub = tbl.filter(pa.array(shard == s))
             pq.write_table(
-                sub,
-                os.path.join(CORPUS_DIR, f"part_hash={s:02d}", f"rows-{first:09d}.parquet"),
+                sub, os.path.join(out_dir, f"part_hash={s:02d}", f"rows-{first:09d}.parquet")
             )
         return {"n": np.array([tbl.num_rows])}
 
-    n = ray.data.range(spec.n_rows, override_num_blocks=max(NUM_CPUS * 2, 16)).map_batches(
-        _gen, batch_size=2048
-    ).sum("n")
+    n = (
+        ray.data.range(spec.n_rows, override_num_blocks=max(NUM_CPUS * 2, 16))
+        .map_batches(_gen, batch_size=4096)
+        .sum("n")
+    )
+
+    # compact: one url-sorted file per partition with small row groups so
+    # the fetch index (min/max url stats) can prune reads, and frontier
+    # blocks come out partition-aligned
+    def _compact(batch):
+        part = int(batch["part"][0])
+        d = os.path.join(out_dir, f"part_hash={part:02d}")
+        files = [os.path.join(d, f) for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
+        tbl = pa.concat_tables(pq.read_table(f) for f in files).sort_by("url")
+        pq.write_table(tbl, os.path.join(d, "compact.parquet.tmp"), row_group_size=2048)
+        for f in files:
+            os.remove(f)
+        os.rename(
+            os.path.join(d, "compact.parquet.tmp"), os.path.join(d, "part-0.parquet")
+        )
+        return {"done": np.array([part])}
+
+    ray.data.range(CORPUS_SHARDS, override_num_blocks=CORPUS_SHARDS).map_batches(
+        lambda b: {"part": b["id"]}, batch_size=1
+    ).map_batches(_compact, batch_size=1).materialize()
     with open(marker, "w") as f:
         f.write(str(n))
-    return CORPUS_DIR
+    return out_dir
 
 
 def bench_crawl() -> dict:
     from crawler_uni_ray.pipelines.crawl import CrawlConfig, CrawlEngine
 
-    corpus = ensure_corpus()
+    corpus = ensure_corpus(CRAWL_HOSTS, CRAWL_PAGES, 8)
     ckpt = f"/tmp/graft_bench_ckpt_{NUM_CPUS}"
     cfg = CrawlConfig(
         domain="example.com",
@@ -80,8 +120,8 @@ def bench_crawl() -> dict:
         corpus_path=corpus,
         fetch_mode="partitioned",
         num_corpus_shards=CORPUS_SHARDS,
-        budget=max(100, BENCH_PAGES // 4),
-        skew_threshold=max(200, (BENCH_HOSTS * BENCH_PAGES) // (BENCH_HOSTS * 2)),
+        budget=max(100, CRAWL_PAGES // 4),
+        skew_threshold=CRAWL_PAGES,  # the hub's frontier mass exceeds this
         n_salts=8,
         n_buckets=max(32, NUM_CPUS),
         small_level_rows=0,  # benchmark the fully-distributed control plane
@@ -104,6 +144,66 @@ def bench_crawl() -> dict:
     }
 
 
+def bench_level() -> dict:
+    """The scaling job: one distributed BFS level over ALL corpus URLs."""
+    import pyarrow as pa
+    import ray.data
+
+    from crawler_uni_ray.pipelines.crawl import CrawlConfig, CrawlEngine
+    from crawler_uni_ray.urlnorm import hosts_batch
+
+    corpus = ensure_corpus(LEVEL_HOSTS, LEVEL_PAGES, LEVEL_FILLER)
+    ckpt = f"/tmp/graft_level_ckpt_{NUM_CPUS}"
+    shutil.rmtree(ckpt, ignore_errors=True)
+    cfg = CrawlConfig(
+        domain="example.com",
+        ckpt_dir=ckpt,
+        corpus_path=corpus,
+        fetch_mode="partitioned",
+        num_corpus_shards=CORPUS_SHARDS,
+        budget=LEVEL_PAGES,  # politeness machinery on; nothing deferred
+        n_buckets=32,
+        small_level_rows=0,
+        seen_backend="exact",
+        num_seen_shards=8,
+    )
+
+    def _to_frontier(t: pa.Table) -> pa.Table:
+        urls = t["url"].to_pylist()
+        return pa.Table.from_arrays(
+            [
+                t["url"].combine_chunks(),
+                pa.array(list(hosts_batch(urls)), pa.string()),
+                pa.array([0] * len(urls), pa.int32()),
+                pa.array([0.0] * len(urls), pa.float64()),
+            ],
+            names=["url", "host", "depth", "priority"],
+        )
+
+    files = [
+        os.path.join(corpus, d, f)
+        for d in sorted(os.listdir(corpus))
+        if d.startswith("part_hash")
+        for f in sorted(os.listdir(os.path.join(corpus, d)))
+        if f.endswith(".parquet")
+    ]
+    frontier = ray.data.read_parquet(
+        files, columns=["url"], override_num_blocks=max(NUM_CPUS * 2, 16)
+    ).map_batches(_to_frontier, batch_format="pyarrow")
+
+    eng = CrawlEngine(cfg)
+    t0 = time.time()
+    m = eng.process_frontier(frontier, n_frontier=LEVEL_HOSTS * LEVEL_PAGES + 1)
+    dt = time.time() - t0
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return {
+        "level_sec": round(dt, 3),
+        "level_urls": m.n_scheduled,
+        "level_urls_per_sec": round(m.n_scheduled / dt, 1),
+        "level_pages_fetched_per_sec": round(m.n_fetched / dt, 1),
+    }
+
+
 def bench_queries() -> dict:
     from crawler_uni_ray.pipelines import queries as q
 
@@ -122,7 +222,7 @@ def bench_queries() -> dict:
     return out
 
 
-def run_once() -> dict:
+def _init_ray():
     import logging
     import warnings
 
@@ -141,8 +241,11 @@ def run_once() -> dict:
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
     logging.getLogger("ray.data").setLevel(logging.ERROR)
+    return ray
 
-    ensure_corpus()  # untimed: warm page cache + one-time generation
+
+def run_once() -> dict:
+    ray = _init_ray()
     crawl = bench_crawl()
     queries = bench_queries()
     ray.shutdown()
@@ -157,11 +260,25 @@ def run_once() -> dict:
     }
 
 
+def run_level_once() -> dict:
+    ray = _init_ray()
+    out = bench_level()
+    ray.shutdown()
+    return {
+        "metric": "level_wall_sec",
+        "value": out["level_sec"],
+        "unit": "sec",
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        **out,
+    }
+
+
 def run_scaling() -> dict:
     def sub(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
         out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
+            [sys.executable, os.path.abspath(__file__), "--level"],
             env=env,
             capture_output=True,
             text=True,
@@ -169,11 +286,10 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    ensure_warm = sub(8)  # first run also generates/warms the corpus
-    r8 = ensure_warm
+    warm = sub(8)  # first run also generates the corpus + warms page cache
+    r8 = sub(8)  # timed run on a warm cache
     r32 = sub(32)
-    rate8 = r8["crawl_urls_per_sec"]
-    rate32 = r32["crawl_urls_per_sec"]
+    rate8, rate32 = r8["level_urls_per_sec"], r32["level_urls_per_sec"]
     eff = (rate32 / rate8) / (32 / 8)
     return {
         "metric": "scaling_efficiency",
@@ -183,12 +299,15 @@ def run_scaling() -> dict:
         "sec_32": r32["value"],
         "urls_per_sec_8": rate8,
         "urls_per_sec_32": rate32,
-        "sf": SF_DIR,
+        "level_urls": r8["level_urls"],
+        "warmup_sec_8": warm["value"],
     }
 
 
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--level" in sys.argv:
+        print(json.dumps(run_level_once()))
     else:
         print(json.dumps(run_once()))

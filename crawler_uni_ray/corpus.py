@@ -54,6 +54,7 @@ class CorpusSpec:
     pages_per_host: int = 8
     seed: int = 42
     hub_weight: float = 0.5  # fraction of cross-host links aimed at the hub
+    filler_paras: int = 0  # extra filler paragraphs (bench: realistic page sizes)
 
     @property
     def n_rows(self) -> int:
@@ -148,6 +149,17 @@ def gen_page_html(spec: CorpusSpec, h: int, i: int) -> bytes:
         else:
             anchors.append(f'<a href="{href}">link{k}</a>')
     filler = " ".join(rng.choice(_FILLER) for _ in range(3 + i % 4))
+    # tag-dense filler: real-world HTML is markup-heavy (lists, spans,
+    # entities), which is what makes extraction CPU-bound — long plain-text
+    # paragraphs would understate parse cost per byte
+    extra = []
+    for _ in range(spec.filler_paras):
+        words = rng.choice(_FILLER).split()
+        items = "".join(
+            f'<li class="w"><span>{w}</span> &amp; <em>{w[::-1]}</em></li>'
+            for w in words
+        )
+        extra.append(f"<ul>{items}</ul>")
     parts = [
         '<html><head><meta charset="utf-8"><title>',
         f"Page {h}/{i}",
@@ -160,6 +172,7 @@ def gen_page_html(spec: CorpusSpec, h: int, i: int) -> bytes:
         "<p>",
         filler,
         " Entity test: &amp; &lt;ok&gt;.</p>",
+        *extra,
         "<a href>self</a>",  # valueless href → self-link
         *anchors,
         "</body></html>",

@@ -61,7 +61,7 @@ from ..stages.extract_stage import extract_stage, flatten_outlinks
 from ..stages.fetch import fetch_broadcast, fetch_join, fetch_partitioned
 from ..stages.frontier import FRONTIER_SCHEMA
 from ..stages.robots import _build_parsers, robots_filter, robots_mask
-from ..stages.schedule import schedule_flags_pandas, schedule_level
+from ..stages.schedule import schedule_flags_pandas, schedule_level, schedule_level_fused
 from ..stages.seen_stage import seen_add, seen_filter
 from ..state.seen import ShardedSeen
 from ..urlnorm import hosts_batch, in_scope_batch
@@ -89,6 +89,7 @@ class CrawlConfig:
     small_level_rows: int = 50_000  # driver fast-path threshold (0 = always distributed)
     driver_fetch_rows: int = 2000  # broadcast-mode only: fetch+extract tiny
     # levels on the driver (same pure kernels; 0 = never)
+    level_read_blocks: int = 64  # coalesce frontier files into ~this many blocks
 
 
 @dataclass
@@ -106,12 +107,26 @@ class LevelMetrics:
     extra: dict = field(default_factory=dict)
 
 
-def _read_parquet_dir(path: str, schema: pa.Schema) -> Dataset:
-    """read_parquet that tolerates an empty/absent artifact dir."""
+def _read_parquet_dir(
+    path: str,
+    schema: pa.Schema,
+    num_blocks: int | None = None,
+    columns: list[str] | None = None,
+) -> Dataset:
+    """read_parquet that tolerates an empty/absent artifact dir.
+    ``num_blocks`` coalesces many small files into sane block counts (tiny
+    blocks → per-task overhead dominates the level); ``columns`` prunes at
+    the read (never drag text/html through a stage that needs urls)."""
     files = _parquet_files(path)
+    kwargs = {}
+    if num_blocks:
+        kwargs["override_num_blocks"] = num_blocks
+    if columns:
+        kwargs["columns"] = columns
     if not files:
-        return ray.data.from_arrow(schema.empty_table())
-    return ray.data.read_parquet(files)
+        t = schema.empty_table()
+        return ray.data.from_arrow(t.select(columns) if columns else t)
+    return ray.data.read_parquet(files, **kwargs)
 
 
 def _parquet_files(path: str) -> list[str]:
@@ -346,9 +361,20 @@ class CrawlEngine:
             candidates = robots_filter(candidates, self._robots_ref)
 
         flagged = None
+        deferred_dir = None
         if cfg.budget is None:
             scheduled = candidates
             deferred = ray.data.from_arrow(FRONTIER_SCHEMA.empty_table())
+        elif cfg.skew_threshold is None:
+            # fused scheduling: deferred rows side-written per bucket inside
+            # the scheduling groups; scheduled rows stream straight on into
+            # seen-add → fetch → extract → write (ONE execution, one shuffle)
+            deferred_dir = self._lvl(k, "deferred")
+            shutil.rmtree(deferred_dir, ignore_errors=True)
+            scheduled = schedule_level_fused(
+                candidates, cfg.budget, deferred_dir, n_buckets=cfg.n_buckets
+            )
+            deferred = None  # readable only after the main execution runs
         else:
             flagged = schedule_level(
                 candidates,
@@ -382,7 +408,16 @@ class CrawlEngine:
         else:
             n_results = self._fetch_extract_write(scheduled, k)
 
-        results_ds = _read_parquet_dir(self._lvl(k, "results"), self.RESULTS_SCHEMA)
+        if deferred is None:  # fused path: deferred now durable on disk
+            deferred = _read_parquet_dir(deferred_dir, FRONTIER_SCHEMA)
+
+        # column-pruned read: the flatten needs url/depth/outlinks only —
+        # never re-stream the text payload through this phase
+        results_ds = _read_parquet_dir(
+            self._lvl(k, "results"),
+            self.RESULTS_SCHEMA,
+            columns=["url", "depth", "outlinks"],
+        )
         outlinks = flatten_outlinks(results_ds, cfg.domain)
 
         def _next_rows(t: pa.Table) -> pa.Table:
@@ -401,10 +436,21 @@ class CrawlEngine:
         next_candidates = outlinks.map_batches(_next_rows, batch_format="pyarrow").union(
             deferred
         )
-        frontier_next = dedup_exact(next_candidates, "url", n_buckets=cfg.n_buckets)
+        # bucket the dedup with the SAME url hash modulus as the corpus
+        # partitioning so frontier_next files come out partition-aligned
+        # and the next level's fetch touches ~1 partition per batch
+        dedup_buckets = (
+            cfg.num_corpus_shards if self._fetch_mode == "partitioned" else cfg.n_buckets
+        )
+        frontier_next = dedup_exact(next_candidates, "url", n_buckets=dedup_buckets)
         n_next = _write_atomic(frontier_next, self._lvl(k, "frontier_next"))
 
-        n_cand = flagged.count() if flagged is not None else n_results
+        if flagged is not None:
+            n_cand = flagged.count()
+        elif deferred_dir is not None:
+            n_cand = n_results + _count_rows(deferred_dir)
+        else:
+            n_cand = n_results
         n_miss = self._results_miss_count(k)
         self._finish_level(
             k,
@@ -432,7 +478,7 @@ class CrawlEngine:
         artifact file with its row count (north_rule: per-partition
         lineage + metrics)."""
         lineage = {}
-        for art in ("results", "frontier_next"):
+        for art in ("results", "frontier_next", "deferred"):
             d = self._lvl(k, art)
             lineage[art] = [
                 {"file": os.path.basename(f), "rows": pq.ParquetFile(f).metadata.num_rows}
@@ -499,13 +545,28 @@ class CrawlEngine:
                 ds = (
                     ray.data.from_arrow(seed_tbl)
                     if src is None
-                    else _read_parquet_dir(src, FRONTIER_SCHEMA)
+                    else _read_parquet_dir(
+                        src, FRONTIER_SCHEMA, num_blocks=cfg.level_read_blocks
+                    )
                 )
                 n_next = self._run_level_big(k, ds, n_frontier)
             if n_next == 0:
                 break
             k += 1
         return self.metrics
+
+    def process_frontier(
+        self, frontier: Dataset, k: int = 0, n_frontier: int = -1
+    ) -> LevelMetrics:
+        """Run ONE fully-distributed BFS level over an arbitrary frontier —
+        the steady-state unit of a web-scale crawl (at 10^10 URLs every
+        level is huge and this is where all the time goes).  Used by the
+        bench scaling harness; semantics identical to the loop's levels.
+        Pass ``n_frontier`` if known (from source metadata) to avoid a
+        counting execution."""
+        os.makedirs(self.cfg.ckpt_dir, exist_ok=True)
+        self._run_level_big(k, frontier, n_frontier)
+        return self.metrics[-1]
 
     # ----------------------------------------------------------- artifacts
     def results_dataset(self) -> Dataset:
@@ -518,8 +579,14 @@ class CrawlEngine:
 
     def outlinks_dataset(self) -> Dataset:
         """(src_url, url, host, in_scope, depth) — exploded on demand from
-        the per-level results' outlinks list column."""
-        return flatten_outlinks(self.results_dataset(), self.cfg.domain)
+        the per-level results' outlinks list column (column-pruned read)."""
+        files = []
+        for k in self.committed_levels():
+            files.extend(_parquet_files(self._lvl(k, "results")))
+        if not files:
+            return ray.data.from_arrow(self.OUTLINKS_SCHEMA.empty_table())
+        ds = ray.data.read_parquet(files, columns=["url", "depth", "outlinks"])
+        return flatten_outlinks(ds, self.cfg.domain)
 
     def all_links_sorted(self) -> Dataset:
         """The reference's links.txt artifact (crawler.py:93-97): every

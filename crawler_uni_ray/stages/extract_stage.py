@@ -24,6 +24,9 @@ RESULTS_COLS = ["url", "host", "depth", "fetch_status", "n_outlinks", "text", "o
 
 def extract_batch(t: pa.Table, depth: int) -> pa.Table:
     """(url, host, html, fetched, …) → results rows with outlinks list."""
+    from ..util import ensure_worker_thread_limits
+
+    ensure_worker_thread_limits()
     urls = t["url"].to_pylist()
     htmls = t["html"].to_pylist()
     fetched = t["fetched"].to_pylist()

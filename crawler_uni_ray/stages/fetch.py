@@ -23,11 +23,10 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-import pyarrow.dataset as pads
 from ray.data import Dataset
 
 from ..urlnorm import url_hash_batch
-from ..util import cached_get
+from ..util import cached_get, ensure_worker_thread_limits
 
 _FETCH_COLS = ["html", "warc_ts"]
 
@@ -65,30 +64,106 @@ def fetch_join(ds: Dataset, pages: Dataset, num_partitions: int = 32) -> Dataset
     return joined.map_batches(_flag, batch_format="pyarrow")
 
 
+class _PartitionIndex:
+    """Per-worker cached index of one corpus partition: parquet file
+    handles + per-row-group (min, max) url statistics.  A lookup reads
+    ONLY the row groups whose url range intersects the (sorted) query
+    list — at the 10^10-URL design point a partition holds ~10^7 urls in
+    thousands of row groups and a batch touches a handful, so fetch I/O is
+    proportional to the frontier, not the corpus.  (On a tiny sandbox
+    corpus most row groups match; the pruning is the scale story.)"""
+
+    def __init__(self, part_dir: str):
+        import os
+
+        import pyarrow.parquet as pq
+
+        self.files = []
+        for f in sorted(os.listdir(part_dir)):
+            if not f.endswith(".parquet"):
+                continue
+            pf = pq.ParquetFile(os.path.join(part_dir, f))
+            url_idx = pf.schema_arrow.get_field_index("url")
+            stats = []
+            for rg in range(pf.num_row_groups):
+                st = pf.metadata.row_group(rg).column(url_idx).statistics
+                stats.append((st.min, st.max) if st is not None else (None, None))
+            self.files.append((pf, stats))
+
+    def read_hits(self, urls: list[str]) -> dict[str, bytes]:
+        q = np.array(sorted(urls), dtype=object)
+        out: dict[str, bytes] = {}
+        qset = set(urls)
+        for pf, stats in self.files:
+            rgs = []
+            for i, (lo, hi) in enumerate(stats):
+                if lo is None:
+                    rgs.append(i)
+                    continue
+                j = np.searchsorted(q, lo)
+                if j < len(q) and q[j] <= hi:
+                    rgs.append(i)
+            if not rgs:
+                continue
+            tbl = pf.read_row_groups(rgs, columns=["url", "html"])
+            for u, h in zip(tbl["url"].to_pylist(), tbl["html"].to_pylist()):
+                if u in qset:
+                    out[u] = h
+        return out
+
+
+def _fetch_batch(t: pa.Table, corpus_path: str, num_shards: int) -> pa.Table:
+    """Shared lookup kernel: group the batch's urls by partition, read
+    matching row groups via the cached per-partition index."""
+    ensure_worker_thread_limits()
+    if len(t) == 0:
+        return t.append_column("html", pa.array([], pa.binary())).append_column(
+            "fetched", pa.array([], pa.bool_())
+        )
+    urls = t["url"].to_pylist()
+    parts = url_hash_batch(urls) % num_shards
+    lookup: dict[str, bytes] = {}
+    for part in np.unique(parts):
+        part_dir = f"{corpus_path}/part_hash={int(part):02d}"
+        index = cached_get(part_dir, build=_PartitionIndex, key=part_dir)
+        sel = [u for u, p in zip(urls, parts) if p == part]
+        lookup.update(index.read_hits(sel))
+    htmls = [lookup.get(u) for u in urls]
+    fetched = np.fromiter((h is not None for h in htmls), bool, count=len(htmls))
+    return t.append_column("html", pa.array(htmls, pa.binary())).append_column(
+        "fetched", pa.array(fetched)
+    )
+
+
 def fetch_partitioned(
-    ds: Dataset, corpus_path: str, num_shards: int, n_buckets: int | None = None
+    ds: Dataset, corpus_path: str, num_shards: int, align: bool = True
 ) -> Dataset:
-    """Bucket the frontier by the corpus's url-hash partitioning and read
-    only matching partition files, filtered to the scheduled URL set."""
-    n_buckets = n_buckets or num_shards
+    """Look the frontier up in the hash(url)-partitioned corpus.
+
+    ``align=True`` (default): re-bucket the frontier by the corpus's url
+    hash first — a shuffle of TINY url rows (~100 B each) that buys
+    exactly ONE pruned read per corpus partition per level.  Fetch I/O
+    becomes ∝ corpus-partitions-touched, never url-batch × partition.
+    ``align=False`` skips the shuffle and looks up per batch — right when
+    the input is already partition-aligned or tiny."""
+    if not align:
+        return ds.map_batches(
+            lambda t: _fetch_batch(t, corpus_path, num_shards),
+            batch_format="pyarrow",
+            batch_size=8192,
+        )
 
     def _bucket(t: pa.Table) -> pa.Table:
         b = (url_hash_batch(t["url"].to_pylist()) % num_shards).astype(np.int64)
         return t.append_column("__part", pa.array(b))
 
-    def _fetch_part(g: pd.DataFrame) -> pd.DataFrame:
-        part = int(g["__part"].iloc[0])
-        urls = g["url"].tolist()
-        dset = pads.dataset(f"{corpus_path}/part_hash={part:02d}")
-        hit = dset.to_table(
-            columns=["url", "html"], filter=pads.field("url").isin(urls)
-        ).to_pandas()
-        out = g.drop(columns=["__part"]).merge(hit, on="url", how="left")
-        out["fetched"] = out["html"].notna()
-        return out
+    def _fetch_group(t: pa.Table) -> pa.Table:
+        if "__part" in t.column_names:
+            t = t.drop_columns(["__part"])
+        return _fetch_batch(t, corpus_path, num_shards)
 
     return (
         ds.map_batches(_bucket, batch_format="pyarrow")
         .groupby("__part")
-        .map_groups(_fetch_part, batch_format="pandas")
+        .map_groups(_fetch_group, batch_format="pyarrow")
     )

@@ -63,6 +63,54 @@ def schedule_flags_pandas(df: pd.DataFrame, budget: int | None) -> np.ndarray:
     return _rank_within(df, ["host"]) < budget
 
 
+def schedule_level_fused(
+    ds: Dataset,
+    budget: int,
+    deferred_dir: str,
+    *,
+    n_buckets: int = 32,
+) -> Dataset:
+    """Single-execution scheduling (no hot-host salting): the per-bucket
+    group op RETURNS only the scheduled rows — which flow straight into
+    the fused seen-add → fetch → extract stages — and SIDE-WRITES its
+    deferred rows to ``deferred_dir/bucket-NNNNN.parquet``.  File names
+    are deterministic per bucket and writes go tmp→rename, so Ray task
+    retries are idempotent (same bucket ⇒ same content ⇒ same file).
+    This removes the materialize + second pass the split variant pays —
+    one groupby shuffle is the level's only barrier."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    os.makedirs(deferred_dir, exist_ok=True)
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        hosts = t["host"].to_pylist()
+        bucket = (url_hash_batch(hosts) % n_buckets).astype(np.int64)
+        return t.append_column("__bucket", pa.array(bucket))
+
+    def _sched(g: pd.DataFrame) -> pd.DataFrame:
+        from ..util import ensure_worker_thread_limits
+
+        ensure_worker_thread_limits()
+        bid = int(g["__bucket"].iloc[0])
+        g = g.drop(columns=["__bucket"])
+        rank = _rank_within(g, ["host"])
+        deferred = g[rank >= budget]
+        if len(deferred):
+            final = os.path.join(deferred_dir, f"bucket-{bid:05d}.parquet")
+            tmp = f"{final}.{os.getpid()}.tmp"
+            pq.write_table(pa.Table.from_pandas(deferred, preserve_index=False), tmp)
+            os.rename(tmp, final)
+        return g[rank < budget]
+
+    return (
+        ds.map_batches(_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(_sched, batch_format="pandas")
+    )
+
+
 def schedule_level(
     ds: Dataset,
     budget: int | None,

@@ -16,6 +16,29 @@ from typing import Any, Callable
 import ray
 
 _PROC_CACHE: dict[str, Any] = {}
+_THREADS_TUNED = False
+
+
+def ensure_worker_thread_limits(cpu: int = 1, io: int = 2) -> None:
+    """Cap pyarrow's per-process thread pools inside Ray worker tasks.
+
+    pyarrow defaults both pools to os.cpu_count(); with 32 single-CPU Ray
+    workers that is 32×32 threads fighting for 32 cores — parquet
+    read/decompress then ANTI-scales with cluster size.  Call this at the
+    top of every I/O-heavy batch kernel (idempotent, once per process)."""
+    global _THREADS_TUNED
+    if _THREADS_TUNED:
+        return
+    try:  # only cap inside Ray tasks/actors — never throttle the driver
+        if ray.get_runtime_context().get_task_id() is None:
+            return
+    except Exception:
+        return
+    import pyarrow as pa
+
+    pa.set_cpu_count(cpu)
+    pa.set_io_thread_count(io)
+    _THREADS_TUNED = True
 
 
 def cached_get(ref, build: Callable[[Any], Any] | None = None, key: str | None = None):
