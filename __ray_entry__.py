@@ -61,6 +61,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_by_type": q.events_by_type,
         "events_windowed": q.events_windowed,
         "docs_distinct_langs": q.docs_distinct_langs,
+        "parts_by_brand": q.parts_by_brand,
+        "suppliers_per_nation": q.suppliers_per_nation,
+        "lineitem_date_range": q.lineitem_date_range,
         # dedup suite
         "docs_dedup_exact": q.docs_dedup_exact,
         "docs_minhash_clusters": q.docs_minhash_clusters,
@@ -133,6 +136,21 @@ def oracle_sql() -> dict[str, str]:
         """,
         "docs_distinct_langs": """
             SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "parts_by_brand": """
+            SELECT p_brand, COUNT(*) AS n_parts,
+                   ROUND(SUM(p_retailprice), 2) AS total_price
+            FROM part GROUP BY p_brand ORDER BY p_brand
+        """,
+        "suppliers_per_nation": """
+            SELECT n_name, COUNT(*) AS n_suppliers
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+            GROUP BY n_name ORDER BY n_name
+        """,
+        "lineitem_date_range": """
+            SELECT l_returnflag, MIN(l_shipdate) AS first_ship,
+                   MAX(l_shipdate) AS last_ship, COUNT(*) AS n
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
         """,
         "docs_dedup_exact": """
             SELECT MIN(doc_id) AS doc_id, text

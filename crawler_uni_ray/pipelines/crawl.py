@@ -64,7 +64,7 @@ from ..stages.robots import _build_parsers, robots_filter, robots_mask
 from ..stages.schedule import schedule_flags_pandas, schedule_level, schedule_level_fused
 from ..stages.seen_stage import seen_add, seen_filter
 from ..state.seen import ShardedSeen
-from ..urlnorm import hosts_batch, in_scope_batch
+from ..urlnorm import hosts_batch, hosts_batch_cleaned, in_scope_batch
 
 
 @dataclass
@@ -320,12 +320,12 @@ class CrawlEngine:
         flat = pa.compute.list_flatten(res["outlinks"])
         out_urls = flat.to_pylist()
         n_outlinks = len(out_urls)
-        out_hosts = hosts_batch(out_urls)
-        out_scope = np.asarray(in_scope_batch(out_urls, cfg.domain), dtype=bool)
+        out_hosts = hosts_batch_cleaned(out_urls)  # outlinks are cleaned urls
+        out_scope = out_hosts.str.endswith(cfg.domain).fillna(False).to_numpy(dtype=bool)
         next_df = pd.DataFrame(
             {
                 "url": np.asarray(out_urls, dtype=object)[out_scope],
-                "host": out_hosts[out_scope],
+                "host": out_hosts.to_numpy(dtype=object)[out_scope],
             }
         )
         next_df["depth"] = np.int32(k + 1)
@@ -355,6 +355,9 @@ class CrawlEngine:
 
     def _run_level_big(self, k: int, frontier: Dataset, n_frontier: int) -> int:
         """Distributed path: every control-plane stage is a Dataset op."""
+        import time as _time
+
+        _t0 = _time.time()
         cfg = self.cfg
         candidates = seen_filter(frontier, self.seen)
         if self._robots_ref is not None:
@@ -408,6 +411,7 @@ class CrawlEngine:
         else:
             n_results = self._fetch_extract_write(scheduled, k)
 
+        _t_main = _time.time() - _t0
         if deferred is None:  # fused path: deferred now durable on disk
             deferred = _read_parquet_dir(deferred_dir, FRONTIER_SCHEMA)
 
@@ -423,15 +427,14 @@ class CrawlEngine:
         def _next_rows(t: pa.Table) -> pa.Table:
             m = np.asarray(t["in_scope"].to_pylist(), dtype=bool)
             t = t.filter(pa.array(m))
-            return pa.Table.from_arrays(
-                [
-                    t["url"].combine_chunks(),
-                    t["host"].combine_chunks(),
-                    t["depth"].combine_chunks(),
-                    pa.array([0.0] * len(t), pa.float64()),
-                ],
-                schema=FRONTIER_SCHEMA,
-            )
+            # local pre-dedup (combiner): hub-heavy outlink batches carry
+            # many repeats — drop them before the dedup shuffle moves rows
+            df = pd.DataFrame(
+                {"url": t["url"].to_pylist(), "host": t["host"].to_pylist(),
+                 "depth": t["depth"].to_pylist()}
+            ).drop_duplicates(subset=["url"])
+            df["priority"] = 0.0
+            return pa.Table.from_pandas(df, schema=FRONTIER_SCHEMA, preserve_index=False)
 
         next_candidates = outlinks.map_batches(_next_rows, batch_format="pyarrow").union(
             deferred
@@ -445,6 +448,7 @@ class CrawlEngine:
         frontier_next = dedup_exact(next_candidates, "url", n_buckets=dedup_buckets)
         n_next = _write_atomic(frontier_next, self._lvl(k, "frontier_next"))
 
+        _t_next = _time.time() - _t0 - _t_main
         if flagged is not None:
             n_cand = flagged.count()
         elif deferred_dir is not None:
@@ -465,6 +469,7 @@ class CrawlEngine:
                 n_outlinks=-1,  # not separately counted on this path
                 n_frontier_next=n_next,
                 path="distributed",
+                extra={"t_main": round(_t_main, 2), "t_next": round(_t_next, 2)},
             ),
         )
         return n_next

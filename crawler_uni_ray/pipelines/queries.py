@@ -167,6 +167,61 @@ def docs_distinct_langs(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("lang").reset_index(drop=True)
 
 
+def parts_by_brand(sf_dir: str) -> pd.DataFrame:
+    ds = ray.data.read_parquet(_t(sf_dir, "part"), columns=["p_brand", "p_retailprice"])
+    out = (
+        ds.groupby("p_brand")
+        .aggregate(
+            Count(alias_name="n_parts"), Sum("p_retailprice", alias_name="total_price")
+        )
+        .to_pandas()
+    )
+    out["n_parts"] = out["n_parts"].astype("int64")
+    out["total_price"] = out["total_price"].round(2)
+    return out.sort_values("p_brand").reset_index(drop=True)
+
+
+def suppliers_per_nation(sf_dir: str) -> pd.DataFrame:
+    """Broadcast dimension join (nation is tiny) + grouped count."""
+    nation = pd.read_parquet(_t(sf_dir, "nation"), columns=["n_nationkey", "n_name"])
+    nref = ray.put(nation)
+    ds = ray.data.read_parquet(_t(sf_dir, "supplier"), columns=["s_nationkey"])
+
+    def _join(df: pd.DataFrame) -> pd.DataFrame:
+        n = cached_get(nref)
+        m = df.merge(n, left_on="s_nationkey", right_on="n_nationkey")
+        return m.groupby("n_name", as_index=False).agg(n_suppliers=("n_name", "size"))
+
+    out = (
+        ds.map_batches(_join, batch_format="pandas")
+        .groupby("n_name")
+        .aggregate(Sum("n_suppliers", alias_name="n_suppliers"))
+        .to_pandas()
+    )
+    out["n_suppliers"] = out["n_suppliers"].astype("int64")
+    return out.sort_values("n_name").reset_index(drop=True)
+
+
+def lineitem_date_range(sf_dir: str) -> pd.DataFrame:
+    """Min/max timestamps per flag — exact-valued aggregate (no float sums)."""
+    from ray.data.aggregate import Max, Min
+
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "lineitem"), columns=["l_returnflag", "l_shipdate"]
+    )
+    out = (
+        ds.groupby("l_returnflag")
+        .aggregate(
+            Min("l_shipdate", alias_name="first_ship"),
+            Max("l_shipdate", alias_name="last_ship"),
+            Count(alias_name="n"),
+        )
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
 # ------------------------------------------------------------------ dedup / text / similarity
 
 

@@ -17,7 +17,7 @@ import pyarrow.compute as pc
 from ray.data import Dataset
 
 from ..extract import extract_links_and_text
-from ..urlnorm import hosts_batch, in_scope_batch
+from ..urlnorm import hosts_batch_cleaned
 
 RESULTS_COLS = ["url", "host", "depth", "fetch_status", "n_outlinks", "text", "outlinks"]
 
@@ -80,8 +80,12 @@ def flatten_outlinks(ds: Dataset, domain: str) -> Dataset:
         src = pc.take(t["url"].combine_chunks(), parents)
         depths = pc.add(pc.take(t["depth"].combine_chunks(), parents), 1).cast(pa.int32())
         urls = flat.to_pylist()
-        hosts = pa.array(list(hosts_batch(urls)), pa.string())
-        scope = pa.array(np.asarray(in_scope_batch(urls, domain), dtype=bool))
+        # outlinks are cleaned urls by construction → vectorized host/scope
+        hosts_s = hosts_batch_cleaned(urls)
+        hosts = pa.array(hosts_s.tolist(), pa.string())
+        scope = pa.array(
+            hosts_s.str.endswith(domain).fillna(False).to_numpy(dtype=bool)
+        )
         return pa.Table.from_arrays(
             [src, flat, hosts, scope, depths],
             names=["src_url", "url", "host", "in_scope", "depth"],
