@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_orders": q.customers_without_orders,
         "events_by_type": q.events_by_type,
         "events_windowed": q.events_windowed,
+        "events_sessionized": q.events_sessionized,
         "docs_distinct_langs": q.docs_distinct_langs,
         "parts_by_brand": q.parts_by_brand,
         "suppliers_per_nation": q.suppliers_per_nation,
@@ -133,6 +134,25 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY user_id, hour_bucket
             ORDER BY user_id, hour_bucket
+        """,
+        "events_sessionized": """
+            WITH d AS (
+                SELECT user_id, ts,
+                       CASE WHEN LAG(ts) OVER w IS NULL
+                                 OR ts - LAG(ts) OVER w > INTERVAL 10 MINUTE
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), s AS (
+                SELECT user_id, ts,
+                       SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                        ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM d
+            )
+            SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                   COUNT(*) AS n_events, MIN(ts) AS session_start
+            FROM s GROUP BY user_id, session_id
+            ORDER BY user_id, session_id
         """,
         "docs_distinct_langs": """
             SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang ORDER BY lang

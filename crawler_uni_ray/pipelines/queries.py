@@ -159,6 +159,39 @@ def events_windowed(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["user_id", "hour_bucket"]).reset_index(drop=True)
 
 
+def events_sessionized(sf_dir: str, gap_minutes: int = 10) -> pd.DataFrame:
+    """Session windows per user (gap > 10 min starts a new session) — the
+    batch-engine form of a streaming session window (ray_guide:
+    streaming-shaped workloads).  Physical plan: hash-bucket users so each
+    bucket holds whole users, then ONE vectorized pandas pass per bucket
+    (sort by (user, ts) → gap flags → cumulative session ids)."""
+    ds = ray.data.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        b = pc.cast(pc.bit_wise_and(t["user_id"], 15), pa.int64())
+        return t.append_column("__b", b)
+
+    def _sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"], kind="mergesort")
+        gap = pd.Timedelta(minutes=gap_minutes)
+        new_user = g["user_id"].ne(g["user_id"].shift())
+        new_sess = new_user | (g["ts"].diff() > gap)
+        g["session_id"] = new_sess.groupby(g["user_id"]).cumsum().astype("int64")
+        out = g.groupby(["user_id", "session_id"], as_index=False).agg(
+            n_events=("ts", "size"), session_start=("ts", "min")
+        )
+        return out
+
+    out = (
+        ds.map_batches(_bucket, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(lambda g: _sessions(g.drop(columns=["__b"])), batch_format="pandas")
+        .to_pandas()
+    )
+    out["n_events"] = out["n_events"].astype("int64")
+    return out.sort_values(["user_id", "session_id"]).reset_index(drop=True)
+
+
 def docs_distinct_langs(sf_dir: str) -> pd.DataFrame:
     """Distinct values via groupby-count (`unique` without driver collect)."""
     ds = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["lang"])
