@@ -85,6 +85,8 @@ class CrawlConfig:
     n_salts: int = 8
     skew_threshold: int | None = None
     max_levels: int = 1000
+    max_pages: int | None = None  # [NR] stop once ≥ this many URLs scheduled
+    # (level-granular: the running level completes; every level stays durable)
     extract_batch_size: int = 256
     small_level_rows: int = 50_000  # driver fast-path threshold (0 = always distributed)
     driver_fetch_rows: int = 2000  # broadcast-mode only: fetch+extract tiny
@@ -557,6 +559,11 @@ class CrawlEngine:
                 n_next = self._run_level_big(k, ds, n_frontier)
             if n_next == 0:
                 break
+            if (
+                cfg.max_pages is not None
+                and sum(m.n_scheduled for m in self.metrics) >= cfg.max_pages
+            ):
+                break  # [NR] page-budget guard (level-granular)
             k += 1
         return self.metrics
 

@@ -159,3 +159,37 @@ def test_join_fetch_conformance_two_levels(ray_session, tiny_corpus, tmp_path):
     got = eng.visited_depth()
     want = {u: d for u, d in oracle.visited_depth.items() if d < 2}
     assert got == want
+
+
+def test_max_pages_guard(ray_session, tiny_corpus, tmp_path):
+    eng = CrawlEngine(
+        CrawlConfig(
+            domain=DOMAIN,
+            ckpt_dir=str(tmp_path / "c"),
+            corpus_dict=tiny_corpus,
+            max_pages=5,
+        )
+    )
+    eng.run()
+    full = crawl_oracle(tiny_corpus, DOMAIN)
+    assert len(eng.visited_depth()) < len(full.visited_depth)
+    # guard is level-granular: every completed level is still committed
+    assert eng.committed_levels() == list(range(len(eng.metrics)))
+
+
+def test_priority_ordering_in_schedule():
+    """Higher priority wins under a tight budget; ties break on url."""
+    import pandas as pd
+
+    from crawler_uni_ray.stages.schedule import schedule_flags_pandas
+
+    df = pd.DataFrame(
+        {
+            "host": ["h"] * 4,
+            "url": ["https://h/d", "https://h/c", "https://h/b", "https://h/a"],
+            "priority": [0.0, 5.0, 5.0, 1.0],
+        }
+    )
+    flags = schedule_flags_pandas(df, budget=2)
+    kept = set(df.loc[flags, "url"])
+    assert kept == {"https://h/c", "https://h/b"}  # top priority, url tiebreak
