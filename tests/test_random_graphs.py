@@ -1,0 +1,70 @@
+"""Property-style conformance (SURVEY.md §5.3): seeded random link graphs
+→ engine seen-set ≡ oracle seen-set, per-depth set equality, identical
+sorted all_links.  Graphs are adversarial in shape (dangling links,
+off-scope edges, cycles, self-links, duplicate hrefs) but deterministic
+per seed."""
+
+import random
+
+import pytest
+
+from crawler_uni_ray.oracle import crawl_oracle
+from crawler_uni_ray.pipelines.crawl import CrawlConfig, CrawlEngine
+
+DOMAIN = "rnd.test"
+
+
+def random_corpus(seed: int, n_urls: int = 40) -> dict[str, bytes]:
+    rng = random.Random(seed)
+    hosts = [DOMAIN, f"a.{DOMAIN}", f"b.{DOMAIN}", "elsewhere.org"]
+    urls = [f"https://{DOMAIN}"]  # the raw seed must exist sometimes
+    for i in range(n_urls):
+        host = rng.choice(hosts)
+        urls.append(f"https://{host}/p{i}.html")
+    corpus: dict[str, bytes] = {}
+    for u in urls:
+        if rng.random() < 0.15:
+            continue  # dangling: linked but absent → fetch-miss
+        n_links = rng.randrange(0, 6)
+        anchors = []
+        for _ in range(n_links):
+            target = rng.choice(urls + [f"https://{DOMAIN}/missing{rng.randrange(99)}"])
+            anchors.append(f'<a href="{target}">x</a>')
+        if rng.random() < 0.3:
+            anchors.append('<a href="#self">s</a>')
+        if rng.random() < 0.3 and anchors:
+            anchors.append(anchors[0])  # duplicate href
+        html = "<html><body>" + "".join(anchors) + f"<p>page {u}</p></body></html>"
+        corpus[u] = html.encode()
+    return corpus
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3, 7])
+def test_random_graph_conformance(ray_session, tmp_path, seed):
+    corpus = random_corpus(seed)
+    oracle = crawl_oracle(corpus, DOMAIN)
+    eng = CrawlEngine(
+        CrawlConfig(
+            domain=DOMAIN, ckpt_dir=str(tmp_path / f"c{seed}"), corpus_dict=corpus
+        )
+    )
+    eng.run()
+    assert eng.visited_depth() == oracle.visited_depth
+    links = [r["url"] for r in eng.all_links_sorted().take_all()]
+    assert links == oracle.sorted_links
+
+
+@pytest.mark.parametrize("seed", [11, 13])
+def test_random_graph_with_budget(ray_session, tmp_path, seed):
+    corpus = random_corpus(seed, n_urls=60)
+    oracle = crawl_oracle(corpus, DOMAIN, max_per_host_per_level=3)
+    eng = CrawlEngine(
+        CrawlConfig(
+            domain=DOMAIN,
+            ckpt_dir=str(tmp_path / f"c{seed}"),
+            corpus_dict=corpus,
+            budget=3,
+        )
+    )
+    eng.run()
+    assert eng.visited_depth() == oracle.visited_depth
