@@ -25,6 +25,41 @@ def robots_table_to_dict(tbl: pa.Table) -> dict[str, str]:
     return dict(zip(tbl["host"].to_pylist(), tbl["rules"].to_pylist()))
 
 
+def robots_from_pages(pages) -> dict[str, str]:
+    """Derive the robots table from corpus rows whose path is
+    ``/robots.txt`` (SURVEY.md §1.2) — a column-pruned filter pass over
+    the pages Dataset; the result is host → body, small enough to
+    broadcast.  Accepts a Dataset or a pyarrow Table."""
+    import numpy as np
+
+    from ..urlnorm import hosts_batch
+
+    def _pick(t: pa.Table) -> pa.Table:
+        urls = t["url"].to_pylist()
+        mask = np.fromiter(
+            (u.endswith("/robots.txt") for u in urls), bool, count=len(urls)
+        )
+        t = t.filter(pa.array(mask))
+        hosts = list(hosts_batch(t["url"].to_pylist()))
+        bodies = [
+            (h or b"").decode("utf-8", "replace") for h in t["html"].to_pylist()
+        ]
+        return pa.Table.from_arrays(
+            [pa.array(hosts, pa.string()), pa.array(bodies, pa.string())],
+            names=["host", "rules"],
+        )
+
+    if isinstance(pages, pa.Table):
+        return robots_table_to_dict(_pick(pages.select(["url", "html"])))
+    rows = pages.select_columns(["url", "html"]).map_batches(
+        _pick, batch_format="pyarrow"
+    )
+    out: dict[str, str] = {}
+    for b in rows.iter_batches(batch_format="pyarrow"):
+        out.update(zip(b["host"].to_pylist(), b["rules"].to_pylist()))
+    return out
+
+
 def _build_parsers(rules: dict[str, str]) -> dict[str, robotparser.RobotFileParser]:
     parsers = {}
     for host, body in rules.items():

@@ -62,3 +62,27 @@ def test_oracle_robots_gate():
     assert not [u for u in res.visited_depth if f"{DIS_HOST}/p1" in u]
     # disallowed URLs still appear in all_links (discovered, not fetched)
     assert [u for u in res.all_links if f"{DIS_HOST}/p1" in u]
+
+
+def test_robots_from_pages_rows():
+    import pyarrow as pa
+
+    from crawler_uni_ray.stages.robots import robots_from_pages
+
+    tbl = pa.table(
+        {
+            "url": [
+                "https://a.com/robots.txt",
+                "https://a.com/page.html",
+                "https://b.com/robots.txt",
+            ],
+            "html": [
+                b"User-agent: *\nDisallow: /private\n",
+                b"<html></html>",
+                b"User-agent: *\nAllow: /\n",
+            ],
+        }
+    )
+    rules = robots_from_pages(tbl)
+    assert set(rules) == {"a.com", "b.com"}
+    assert "Disallow: /private" in rules["a.com"]
