@@ -165,8 +165,6 @@ def verify_pairs_jaccard(
 ) -> Dataset:
     """Exact-Jaccard verification of candidate pairs against a broadcast
     id → text dict (pairs ≪ corpus; the dict is the small side)."""
-    import ray
-
     from ..util import cached_get
 
     def _verify(df: pd.DataFrame) -> pd.DataFrame:

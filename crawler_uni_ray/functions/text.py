@@ -10,7 +10,6 @@ import re
 
 import numpy as np
 import pandas as pd
-import pyarrow as pa
 from ray.data import Dataset
 
 TOKEN_RE = re.compile(r"\S+")

@@ -64,7 +64,7 @@ from ..stages.robots import _build_parsers, robots_filter, robots_mask
 from ..stages.schedule import schedule_flags_pandas, schedule_level, schedule_level_fused
 from ..stages.seen_stage import seen_add, seen_filter
 from ..state.seen import ShardedSeen
-from ..urlnorm import hosts_batch, hosts_batch_cleaned, in_scope_batch
+from ..urlnorm import hosts_batch, hosts_batch_cleaned
 
 
 @dataclass

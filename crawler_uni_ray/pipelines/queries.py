@@ -15,14 +15,13 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data
-from ray.data import Dataset
 from ray.data.aggregate import Count, Sum
 
 from ..functions import dedup as fdedup
 from ..functions import multimodal as fmedia
 from ..functions import similarity as fsim
 from ..functions import text as ftext
-from ..ops import anti_join_shuffled, dedup_exact_first
+from ..ops import anti_join_shuffled
 from ..urlnorm import clean_url, host_of, is_in_scope
 from ..util import cached_get
 

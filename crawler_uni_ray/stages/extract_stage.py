@@ -11,7 +11,6 @@ row per link by ``flatten_outlinks``.
 
 from __future__ import annotations
 
-import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 from ray.data import Dataset

@@ -21,7 +21,6 @@ exception-swallow (/root/reference/crawler.py:45-46).  Three physical modes:
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 from ray.data import Dataset
 
