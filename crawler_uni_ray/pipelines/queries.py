@@ -30,6 +30,14 @@ def _t(sf_dir: str, name: str) -> str:
     return f"{sf_dir}/{name}.parquet"
 
 
+def _ensure_cols(df: pd.DataFrame, cols: dict[str, str]) -> pd.DataFrame:
+    """An all-rows-filtered Ray result loses its schema in pandas; rebuild
+    the expected (empty) frame so downstream sorts/compares hold."""
+    if all(c in df.columns for c in cols):
+        return df
+    return pd.DataFrame({c: pd.Series([], dtype=t) for c, t in cols.items()})
+
+
 # ------------------------------------------------------------------ relational
 
 
@@ -320,6 +328,7 @@ def docs_simhash(sf_dir: str) -> pd.DataFrame:
 def docs_simhash_pairs(sf_dir: str) -> pd.DataFrame:
     ds = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     out = fdedup.simhash_dup_pairs(ds, max_hamming=3).to_pandas()
+    out = _ensure_cols(out, {"id_a": "int64", "id_b": "int64", "hamming": "int64"})
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
@@ -330,6 +339,7 @@ def docs_ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.8) -> pd.DataFram
     docs = pd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     texts_ref = ray.put(dict(zip(docs["doc_id"], docs["text"])))
     out = fdedup.verify_pairs_jaccard(pairs, texts_ref, threshold).to_pandas()
+    out = _ensure_cols(out, {"id_a": "int64", "id_b": "int64", "jaccard": "float64"})
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
@@ -358,6 +368,7 @@ def embeddings_ann_lsh(sf_dir: str, k: int = 10) -> pd.DataFrame:
 def embeddings_dup_pairs(sf_dir: str) -> pd.DataFrame:
     ds = ray.data.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
     out = fdedup.embedding_dup_pairs(ds, threshold=0.9).to_pandas()
+    out = _ensure_cols(out, {"id_a": "int64", "id_b": "int64", "cosine": "float64"})
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
