@@ -61,3 +61,23 @@ def test_resume_on_empty_ckpt_runs_fresh(ray_session, tiny_corpus, tmp_path):
     )
     eng.resume()
     assert eng.committed_levels() == [0]
+
+
+def test_resume_distributed_path(ray_session, tiny_corpus, tmp_path):
+    """Resume with the fully-distributed control plane (and the fused
+    budget scheduler's side-written deferred files)."""
+    oracle = crawl_oracle(tiny_corpus, DOMAIN, max_per_host_per_level=2)
+    ckpt = str(tmp_path / "ckpt")
+    kw = dict(
+        domain=DOMAIN,
+        ckpt_dir=ckpt,
+        corpus_dict=tiny_corpus,
+        budget=2,
+        small_level_rows=0,
+    )
+    partial = CrawlEngine(CrawlConfig(max_levels=3, **kw))
+    partial.run()
+    assert partial.committed_levels() == [0, 1, 2]
+    resumed = CrawlEngine(CrawlConfig(**kw))
+    resumed.resume()
+    assert resumed.visited_depth() == oracle.visited_depth
