@@ -183,15 +183,10 @@ def bench_level() -> dict:
             names=["url", "host", "depth", "priority"],
         )
 
-    files = [
-        os.path.join(corpus, d, f)
-        for d in sorted(os.listdir(corpus))
-        if d.startswith("part_hash")
-        for f in sorted(os.listdir(os.path.join(corpus, d)))
-        if f.endswith(".parquet")
-    ]
-    frontier = ray.data.read_parquet(
-        files, columns=["url"], override_num_blocks=max(NUM_CPUS * 2, 16)
+    from crawler_uni_ray.sources import read_pages
+
+    frontier = read_pages(
+        corpus, columns=["url"], num_blocks=max(NUM_CPUS * 2, 16)
     ).map_batches(_to_frontier, batch_format="pyarrow")
 
     eng = CrawlEngine(cfg)
