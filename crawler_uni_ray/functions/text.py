@@ -12,6 +12,8 @@ import numpy as np
 import pandas as pd
 from ray.data import Dataset
 
+from ..urlnorm import url_hash_batch
+
 TOKEN_RE = re.compile(r"\S+")
 # a BPE-ish word/punct splitter: words, numbers, or single non-space symbols
 BPE_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]")
@@ -103,47 +105,46 @@ def add_quality_score(ds: Dataset, text_col: str = "text") -> Dataset:
     return ds.map_batches(_f, batch_format="pandas")
 
 
-_FNV_OFFSET = np.uint64(14695981039346656037)
-_FNV_PRIME = np.uint64(1099511628211)
-
-
-def _token_hashes(tokens: list[str]) -> np.ndarray:
-    """Deterministic per-token 64-bit FNV-1a hashes."""
-    out = np.empty(len(tokens), dtype=np.uint64)
-    for i, tok in enumerate(tokens):
-        h = _FNV_OFFSET
-        for b in tok.encode("utf-8"):
-            h = np.uint64((int(h) ^ b) * int(_FNV_PRIME) & 0xFFFFFFFFFFFFFFFF)
-        out[i] = h
+def fingerprint_batch(texts, window: int = 4) -> np.ndarray:
+    """Winnowing-style rolling-hash fingerprint per text: min over sliding
+    windows of a polynomial combine of token hashes (documents sharing
+    phrasing collide).  Token hashing is ONE vectorized siphash call over
+    the whole batch's token stream (urlnorm.url_hash_batch) — not a
+    per-token per-byte Python loop.  Deterministic, order-sensitive."""
+    tok_lists = [TOKEN_RE.findall(t or "") for t in texts]
+    out = np.zeros(len(tok_lists), dtype=np.uint64)
+    all_toks = [tok for toks in tok_lists for tok in toks]
+    if not all_toks:
+        return out
+    hashes = url_hash_batch(all_toks)
+    lens = np.fromiter((len(tk) for tk in tok_lists), np.int64, count=len(tok_lists))
+    offs = np.concatenate(([0], np.cumsum(lens)))
+    weights = np.uint64(31) ** np.arange(window, dtype=np.uint64)
+    for i in range(len(tok_lists)):
+        h = hashes[offs[i] : offs[i + 1]]
+        if len(h) == 0:
+            continue
+        if len(h) < window:
+            acc = 0
+            for v in h:
+                acc = (acc * 31 + int(v)) & 0xFFFFFFFFFFFFFFFF
+            out[i] = acc
+        else:
+            mat = np.lib.stride_tricks.sliding_window_view(h, window)
+            win = (mat * weights).sum(axis=1, dtype=np.uint64)  # wraps mod 2^64
+            out[i] = win.min()
     return out
 
 
 def fingerprint_text(text: str, window: int = 4) -> int:
-    """Winnowing-style rolling-hash fingerprint: combine token hashes over
-    sliding windows, return the minimum window hash (documents sharing
-    phrasing collide).  Deterministic, order-sensitive."""
-    toks = TOKEN_RE.findall(text or "")
-    if not toks:
-        return 0
-    h = _token_hashes(toks)
-    if len(h) < window:
-        acc = np.uint64(0)
-        for v in h:
-            acc = np.uint64((int(acc) * 31 + int(v)) & 0xFFFFFFFFFFFFFFFF)
-        return int(acc)
-    # rolling combine: windowed polynomial hash via cumulative trick
-    mat = np.lib.stride_tricks.sliding_window_view(h, window)
-    weights = np.uint64(31) ** np.arange(window, dtype=np.uint64)
-    win = (mat * weights).sum(axis=1, dtype=np.uint64)
-    return int(win.min())
+    """Scalar form of :func:`fingerprint_batch` (tests / oracle use)."""
+    return int(fingerprint_batch([text], window)[0])
 
 
 def add_fingerprint(ds: Dataset, text_col: str = "text", window: int = 4) -> Dataset:
     def _f(df: pd.DataFrame) -> pd.DataFrame:
-        df["fingerprint"] = [
-            np.int64(fingerprint_text(t, window) & 0x7FFFFFFFFFFFFFFF)
-            for t in df[text_col]
-        ]
+        fp = fingerprint_batch(df[text_col].tolist(), window)
+        df["fingerprint"] = (fp & np.uint64(0x7FFFFFFFFFFFFFFF)).astype("int64")
         return df
 
     return ds.map_batches(_f, batch_format="pandas")

@@ -17,6 +17,7 @@ import pandas as pd
 import pyarrow as pa
 
 from .urlnorm import url_hash_batch
+from .util import from_pandas_clean
 
 from ray.data import Dataset
 
@@ -29,6 +30,10 @@ def add_hash_bucket(
 
     def _bucket(t: pa.Table) -> pa.Table:
         h = url_hash_batch(t[key].to_pylist()) % n_buckets
+        # strip metadata: pandas-origin blocks carry unhashable schemas
+        # into the groupby shuffle otherwise (central fix for all
+        # bucketed ops — this map feeds every dedup/anti-join shuffle)
+        t = t.replace_schema_metadata(None)
         return t.append_column(col, pa.array(h.astype(np.int64)))
 
     return ds.map_batches(_bucket, batch_format="pyarrow")
@@ -41,8 +46,10 @@ def dedup_exact(ds: Dataset, key: str, n_buckets: int = 64) -> Dataset:
     ``set`` membership (/root/reference/crawler.py:14-15,58,67)."""
     bucketed = add_hash_bucket(ds, key, n_buckets)
 
-    def _dedup(g: pd.DataFrame) -> pd.DataFrame:
-        return g.drop_duplicates(subset=[key]).drop(columns=["__bucket"])
+    def _dedup(g: pd.DataFrame) -> pa.Table:
+        # return metadata-free Arrow: pandas-metadata schemas are
+        # unhashable and defeat Ray's shuffle schema dedup (VERDICT r1 #5)
+        return from_pandas_clean(g.drop_duplicates(subset=[key]).drop(columns=["__bucket"]))
 
     return bucketed.groupby("__bucket").map_groups(_dedup, batch_format="pandas")
 
@@ -54,9 +61,9 @@ def dedup_exact_first(
     deterministic 'first' semantics (e.g. min doc_id per text hash)."""
     bucketed = add_hash_bucket(ds, key, n_buckets)
 
-    def _dedup(g: pd.DataFrame) -> pd.DataFrame:
+    def _dedup(g: pd.DataFrame) -> pa.Table:
         g = g.sort_values(order_col, kind="mergesort")
-        return g.drop_duplicates(subset=[key]).drop(columns=["__bucket"])
+        return from_pandas_clean(g.drop_duplicates(subset=[key]).drop(columns=["__bucket"]))
 
     return bucketed.groupby("__bucket").map_groups(_dedup, batch_format="pandas")
 
@@ -116,9 +123,12 @@ def anti_join_shuffled(
     rt = rt.map_batches(_pad, batch_format="pyarrow")
     both = add_hash_bucket(lt.union(rt), key, n_buckets)
 
-    def _anti(g: pd.DataFrame) -> pd.DataFrame:
+    def _anti(g: pd.DataFrame) -> pa.Table:
         right_keys = set(g.loc[g["__is_left"] == 0, key])
-        keep = g[(g["__is_left"] == 1) & ~g[key].isin(right_keys)]
-        return keep.drop(columns=["__bucket", "__is_left"])
+        mask = ((g["__is_left"] == 1) & ~g[key].isin(right_keys)).to_numpy()
+        # convert BEFORE filtering: an empty pandas frame would lose its
+        # column types (object → null) and break downstream unification
+        t = from_pandas_clean(g.drop(columns=["__bucket", "__is_left"]))
+        return t.filter(pa.array(mask))
 
     return both.groupby("__bucket").map_groups(_anti, batch_format="pandas")

@@ -436,7 +436,9 @@ class CrawlEngine:
                  "depth": t["depth"].to_pylist()}
             ).drop_duplicates(subset=["url"])
             df["priority"] = 0.0
-            return pa.Table.from_pandas(df, schema=FRONTIER_SCHEMA, preserve_index=False)
+            return pa.Table.from_pandas(
+                df, schema=FRONTIER_SCHEMA, preserve_index=False
+            ).replace_schema_metadata(None)
 
         next_candidates = outlinks.map_batches(_next_rows, batch_format="pyarrow").union(
             deferred

@@ -23,11 +23,25 @@ from ..functions import similarity as fsim
 from ..functions import text as ftext
 from ..ops import anti_join_shuffled
 from ..urlnorm import clean_url, host_of, is_in_scope
-from ..util import cached_get
+from ..util import cached_get, from_pandas_clean
 
 
 def _t(sf_dir: str, name: str) -> str:
     return f"{sf_dir}/{name}.parquet"
+
+
+def _read(sf_dir: str, name: str, columns: list[str] | None = None):
+    """Column-pruned read with schema metadata stripped: the testdata
+    parquet files embed pandas metadata, which makes block schemas
+    unhashable and defeats Ray's shuffle schema dedup ("Failed to hash
+    the schemas" warning spam, VERDICT r1 #5).  The clean schema is passed
+    INTO the read so even the read/split tasks carry hashable schemas."""
+    import pyarrow.parquet as pq
+
+    path = _t(sf_dir, name)
+    full = pq.read_schema(path).remove_metadata()
+    schema = pa.schema([full.field(c) for c in columns]) if columns else full
+    return ray.data.read_parquet(path, schema=schema, columns=columns)
 
 
 def _ensure_cols(df: pd.DataFrame, cols: dict[str, str]) -> pd.DataFrame:
@@ -45,9 +59,7 @@ def lineitem_agg(sf_dir: str) -> pd.DataFrame:
     """TPC-H Q1-shaped grouped aggregate with a per-batch computed column.
     Scale: column-pruned read; the shuffle moves one partial row per
     (flag,status) per block — Ray pre-aggregates Sum/Count internally."""
-    ds = ray.data.read_parquet(
-        _t(sf_dir, "lineitem"),
-        columns=[
+    ds = _read(sf_dir, "lineitem", columns=[
             "l_returnflag",
             "l_linestatus",
             "l_quantity",
@@ -76,14 +88,23 @@ def lineitem_agg(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
 
 
-def orders_topk(sf_dir: str) -> pd.DataFrame:
-    """Global top-k: distributed sort (range-partitioned) + limit."""
-    ds = ray.data.read_parquet(
-        _t(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_totalprice"]
+def orders_topk(sf_dir: str, k: int = 100) -> pd.DataFrame:
+    """Global top-k with a per-block combiner: each block keeps its local
+    top-k first (vectorized pyarrow select_k), so the range-partitioned
+    sort shuffles ~k×n_blocks rows instead of the whole table."""
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"]
     )
+    keys = [("o_totalprice", "descending"), ("o_orderkey", "ascending")]
+
+    def _local_topk(t: pa.Table) -> pa.Table:
+        # global top-k ⊆ union of per-block top-ks; o_orderkey is a unique
+        # tiebreak so "unstable" select is still deterministic
+        return t.take(pc.select_k_unstable(t, k=k, sort_keys=keys))
+
     out = (
-        ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False])
-        .limit(100)
+        ds.map_batches(_local_topk, batch_format="pyarrow")
+        .sort(["o_totalprice", "o_orderkey"], descending=[True, False])
+        .limit(k)
         .to_pandas()
     )
     return out
@@ -95,15 +116,15 @@ def orders_by_mktsegment(sf_dir: str) -> pd.DataFrame:
     shuffle of the big side; SURVEY.md §2.5 J3 pattern)."""
     cust = pd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"])
     cref = ray.put(cust)
-    ds = ray.data.read_parquet(_t(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
 
-    def _join_partial(df: pd.DataFrame) -> pd.DataFrame:
+    def _join_partial(df: pd.DataFrame) -> pa.Table:
         c = cached_get(cref)
         m = df.merge(c, left_on="o_custkey", right_on="c_custkey", how="inner")
         g = m.groupby("c_mktsegment", as_index=False).agg(
             n_orders=("o_totalprice", "size"), total_price=("o_totalprice", "sum")
         )
-        return g  # per-batch partial → tiny final combine
+        return from_pandas_clean(g)  # per-batch partial → tiny final combine
 
     partial = ds.map_batches(_join_partial, batch_format="pandas")
     out = (
@@ -118,8 +139,8 @@ def orders_by_mktsegment(sf_dir: str) -> pd.DataFrame:
 
 def customers_without_orders(sf_dir: str) -> pd.DataFrame:
     """Distributed anti-join (no native Ray op — explicit bucketed form)."""
-    cust = ray.data.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey"])
-    orders = ray.data.read_parquet(_t(sf_dir, "orders"), columns=["o_custkey"])
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+    orders = _read(sf_dir, "orders", columns=["o_custkey"])
 
     def _ren(t: pa.Table) -> pa.Table:
         return t.rename_columns(["c_custkey"])
@@ -133,7 +154,7 @@ def customers_without_orders(sf_dir: str) -> pd.DataFrame:
 
 
 def events_by_type(sf_dir: str) -> pd.DataFrame:
-    ds = ray.data.read_parquet(_t(sf_dir, "events"), columns=["event_type", "value"])
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
     out = (
         ds.groupby("event_type")
         .aggregate(Count(alias_name="n"), Sum("value", alias_name="total_value"))
@@ -148,7 +169,7 @@ def events_windowed(sf_dir: str) -> pd.DataFrame:
     """Tumbling 1-hour event-time window per user: bucket computed
     vectorized per batch, then grouped — the batch-engine form of a
     streaming window (ray_guide: streaming-shaped workloads)."""
-    ds = ray.data.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts", "value"])
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
 
     def _bucket(t: pa.Table) -> pa.Table:
         us = t["ts"].cast(pa.int64())  # epoch microseconds
@@ -166,17 +187,29 @@ def events_windowed(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["user_id", "hour_bucket"]).reset_index(drop=True)
 
 
-def events_sessionized(sf_dir: str, gap_minutes: int = 10) -> pd.DataFrame:
+def session_bucket_ids(user_ids: np.ndarray, n_buckets: int) -> np.ndarray:
+    """Deterministic user → bucket assignment (Fibonacci multiplicative
+    hash): users stay whole per bucket, buckets scale with the cluster."""
+    u = user_ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    return ((u >> np.uint64(33)) % np.uint64(n_buckets)).astype(np.int64)
+
+
+def events_sessionized(
+    sf_dir: str, gap_minutes: int = 10, n_buckets: int = 256
+) -> pd.DataFrame:
     """Session windows per user (gap > 10 min starts a new session) — the
     batch-engine form of a streaming session window (ray_guide:
     streaming-shaped workloads).  Physical plan: hash-bucket users so each
     bucket holds whole users, then ONE vectorized pandas pass per bucket
-    (sort by (user, ts) → gap flags → cumulative session ids)."""
-    ds = ray.data.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
+    (sort by (user, ts) → gap flags → cumulative session ids).
+    ``n_buckets`` (default 256 ≥ 8× CPUs) bounds per-task memory to
+    ~1/n_buckets of the table and keeps parallelism cluster-proportional
+    (VERDICT r1 #3: the old fixed 16-way fan-out capped both)."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
 
     def _bucket(t: pa.Table) -> pa.Table:
-        b = pc.cast(pc.bit_wise_and(t["user_id"], 15), pa.int64())
-        return t.append_column("__b", b)
+        b = session_bucket_ids(t["user_id"].to_numpy(), n_buckets)
+        return t.append_column("__b", pa.array(b))
 
     def _sessions(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts"], kind="mergesort")
@@ -201,14 +234,14 @@ def events_sessionized(sf_dir: str, gap_minutes: int = 10) -> pd.DataFrame:
 
 def docs_distinct_langs(sf_dir: str) -> pd.DataFrame:
     """Distinct values via groupby-count (`unique` without driver collect)."""
-    ds = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["lang"])
+    ds = _read(sf_dir, "documents", columns=["lang"])
     out = ds.groupby("lang").aggregate(Count(alias_name="n_docs")).to_pandas()
     out["n_docs"] = out["n_docs"].astype("int64")
     return out.sort_values("lang").reset_index(drop=True)
 
 
 def parts_by_brand(sf_dir: str) -> pd.DataFrame:
-    ds = ray.data.read_parquet(_t(sf_dir, "part"), columns=["p_brand", "p_retailprice"])
+    ds = _read(sf_dir, "part", columns=["p_brand", "p_retailprice"])
     out = (
         ds.groupby("p_brand")
         .aggregate(
@@ -225,12 +258,14 @@ def suppliers_per_nation(sf_dir: str) -> pd.DataFrame:
     """Broadcast dimension join (nation is tiny) + grouped count."""
     nation = pd.read_parquet(_t(sf_dir, "nation"), columns=["n_nationkey", "n_name"])
     nref = ray.put(nation)
-    ds = ray.data.read_parquet(_t(sf_dir, "supplier"), columns=["s_nationkey"])
+    ds = _read(sf_dir, "supplier", columns=["s_nationkey"])
 
-    def _join(df: pd.DataFrame) -> pd.DataFrame:
+    def _join(df: pd.DataFrame) -> pa.Table:
         n = cached_get(nref)
         m = df.merge(n, left_on="s_nationkey", right_on="n_nationkey")
-        return m.groupby("n_name", as_index=False).agg(n_suppliers=("n_name", "size"))
+        return from_pandas_clean(
+            m.groupby("n_name", as_index=False).agg(n_suppliers=("n_name", "size"))
+        )
 
     out = (
         ds.map_batches(_join, batch_format="pandas")
@@ -246,8 +281,7 @@ def lineitem_date_range(sf_dir: str) -> pd.DataFrame:
     """Min/max timestamps per flag — exact-valued aggregate (no float sums)."""
     from ray.data.aggregate import Max, Min
 
-    ds = ray.data.read_parquet(
-        _t(sf_dir, "lineitem"), columns=["l_returnflag", "l_shipdate"]
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_shipdate"]
     )
     out = (
         ds.groupby("l_returnflag")
@@ -266,25 +300,25 @@ def lineitem_date_range(sf_dir: str) -> pd.DataFrame:
 
 
 def docs_dedup_exact(sf_dir: str) -> pd.DataFrame:
-    ds = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     out = fdedup.exact_dedup(ds, "text", "doc_id").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
 def docs_text_stats(sf_dir: str) -> pd.DataFrame:
-    ds = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     out = ftext.text_stats(ds).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
 def docs_langid(sf_dir: str) -> pd.DataFrame:
-    ds = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     out = ftext.add_lang_id(ds).to_pandas()[["doc_id", "lang_pred", "lang_score"]]
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
 def docs_quality(sf_dir: str) -> pd.DataFrame:
-    ds = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     out = ftext.add_quality_score(ds).to_pandas()[
         ["doc_id", "punct_ratio", "stop_ratio", "quality"]
     ]
@@ -292,41 +326,46 @@ def docs_quality(sf_dir: str) -> pd.DataFrame:
 
 
 def docs_token_counts(sf_dir: str) -> pd.DataFrame:
-    ds = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     out = ftext.add_token_counts(ds).to_pandas()[["doc_id", "n_tokens", "n_bpe_tokens"]]
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
 def docs_fingerprint(sf_dir: str) -> pd.DataFrame:
-    ds = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     out = ftext.add_fingerprint(ds).to_pandas()[["doc_id", "fingerprint"]]
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
 def docs_minhash_clusters(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
     """MinHash-LSH near-dup clustering: every doc → its cluster
-    representative (itself when unique)."""
-    ds = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    representative (itself when unique).  The verify stage gathers doc
+    texts via row-group-pruned reads — the text column is never loaded on
+    the driver or broadcast (I/O ∝ candidate pairs).  Only doc_id — the
+    inherent size of the RESULT — and the verified pair set (≪ corpus)
+    transit the driver."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     pairs = fdedup.minhash_lsh_candidates(ds, n_hashes=64, bands=16)
-    docs = pd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
-    texts_ref = ray.put(dict(zip(docs["doc_id"], docs["text"])))
-    verified = fdedup.verify_pairs_jaccard(pairs, texts_ref, threshold).to_pandas()
+    verified = fdedup.verify_pairs_jaccard_indexed(
+        pairs, _t(sf_dir, "documents"), threshold
+    ).to_pandas()
+    verified = _ensure_cols(verified, {"id_a": "int64", "id_b": "int64", "jaccard": "float64"})
     comp = fdedup.connected_components(
         list(zip(verified["id_a"].astype(int), verified["id_b"].astype(int)))
     )
-    out = docs[["doc_id"]].copy()
+    out = pd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
     out["cluster_id"] = [comp.get(int(d), int(d)) for d in out["doc_id"]]
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
 def docs_simhash(sf_dir: str) -> pd.DataFrame:
-    ds = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     out = fdedup.add_simhash(ds).to_pandas()[["doc_id", "simhash"]]
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
 def docs_simhash_pairs(sf_dir: str) -> pd.DataFrame:
-    ds = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     out = fdedup.simhash_dup_pairs(ds, max_hamming=3).to_pandas()
     out = _ensure_cols(out, {"id_a": "int64", "id_b": "int64", "hamming": "int64"})
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
@@ -334,11 +373,11 @@ def docs_simhash_pairs(sf_dir: str) -> pd.DataFrame:
 
 def docs_ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.8) -> pd.DataFrame:
     """n-gram Jaccard near-dup: LSH candidates verified by exact Jaccard."""
-    ds = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     pairs = fdedup.minhash_lsh_candidates(ds, n_hashes=64, bands=32)  # high recall
-    docs = pd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
-    texts_ref = ray.put(dict(zip(docs["doc_id"], docs["text"])))
-    out = fdedup.verify_pairs_jaccard(pairs, texts_ref, threshold).to_pandas()
+    out = fdedup.verify_pairs_jaccard_indexed(
+        pairs, _t(sf_dir, "documents"), threshold
+    ).to_pandas()
     out = _ensure_cols(out, {"id_a": "int64", "id_b": "int64", "jaccard": "float64"})
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
@@ -353,20 +392,20 @@ def embeddings_ann(sf_dir: str, k: int = 10) -> pd.DataFrame:
     """Exact cosine top-k (brute force baseline) for query vectors
     vec_id < 8 — float64 math to match the SQL oracle."""
     qmat, qids = _query_vectors(sf_dir)
-    ds = ray.data.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     out = fsim.ann_bruteforce(ds, qmat, qids, k=k)
     return out[["query_id", "neighbor_id", "rank"]].rename(columns={"rank": "rnk"})
 
 
 def embeddings_ann_lsh(sf_dir: str, k: int = 10) -> pd.DataFrame:
     qmat, qids = _query_vectors(sf_dir)
-    ds = ray.data.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     out = fsim.ann_lsh(ds, qmat, qids, k=k)
     return out.rename(columns={"rank": "rnk"})
 
 
 def embeddings_dup_pairs(sf_dir: str) -> pd.DataFrame:
-    ds = ray.data.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     out = fdedup.embedding_dup_pairs(ds, threshold=0.9).to_pandas()
     out = _ensure_cols(out, {"id_a": "int64", "id_b": "int64", "cosine": "float64"})
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
@@ -434,7 +473,9 @@ def media_image_features(sf_dir: str) -> pd.DataFrame:
     """Multimodal plumbing demo: actor-pool feature extraction over the
     deterministic fake media corpus (decode stubbed — see multimodal.py)."""
     ds = ray.data.from_arrow(fmedia.synthetic_media_table(96))
-    imgs = ds.filter(lambda r: r["kind"] == "image")
+    imgs = ds.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], "image")), batch_format="pyarrow"
+    )
     out = fmedia.image_features(imgs, concurrency=2).to_pandas()[
         ["media_id", "feat_mean"]
     ]

@@ -89,20 +89,22 @@ def schedule_level_fused(
         bucket = (url_hash_batch(hosts) % n_buckets).astype(np.int64)
         return t.append_column("__bucket", pa.array(bucket))
 
-    def _sched(g: pd.DataFrame) -> pd.DataFrame:
-        from ..util import ensure_worker_thread_limits
+    def _sched(g: pd.DataFrame) -> pa.Table:
+        from ..util import ensure_worker_thread_limits, from_pandas_clean
 
         ensure_worker_thread_limits()
         bid = int(g["__bucket"].iloc[0])
         g = g.drop(columns=["__bucket"])
         rank = _rank_within(g, ["host"])
-        deferred = g[rank >= budget]
-        if len(deferred):
+        t = from_pandas_clean(g)  # convert before filtering: keeps types on empty
+        kept = rank < budget
+        deferred = t.filter(pa.array(~kept))
+        if deferred.num_rows:
             final = os.path.join(deferred_dir, f"bucket-{bid:05d}.parquet")
             tmp = f"{final}.{os.getpid()}.tmp"
-            pq.write_table(pa.Table.from_pandas(deferred, preserve_index=False), tmp)
+            pq.write_table(deferred, tmp)
             os.rename(tmp, final)
-        return g[rank < budget]
+        return t.filter(pa.array(kept))
 
     return (
         ds.map_batches(_bucket, batch_format="pyarrow")
@@ -152,11 +154,13 @@ def schedule_level(
             "__bucket", pa.array(bucket)
         )
 
-    def _local_schedule(g: pd.DataFrame) -> pd.DataFrame:
+    def _local_schedule(g: pd.DataFrame) -> pa.Table:
+        from ..util import from_pandas_clean
+
         rank = _rank_within(g, ["host", "__salt"])
         g = g.drop(columns=["__bucket"])
         g["scheduled"] = rank < budget
-        return g
+        return from_pandas_clean(g)
 
     flagged = (
         ds.map_batches(_bucket, batch_format="pyarrow")
@@ -187,11 +191,13 @@ def schedule_level(
     hot_kept = hot.map_batches(_by_flag(True), batch_format="pyarrow")
     hot_dropped = hot.map_batches(_by_flag(False), batch_format="pyarrow")
 
-    def _retrim(g: pd.DataFrame) -> pd.DataFrame:
+    def _retrim(g: pd.DataFrame) -> pa.Table:
+        from ..util import from_pandas_clean
+
         rank = _rank_within(g, ["host"])
         g = g.copy()
         g["scheduled"] = rank < budget
-        return g
+        return from_pandas_clean(g)
 
     hot_final = hot_kept.groupby("host").map_groups(_retrim, batch_format="pandas")
     return cold.union(hot_final).union(hot_dropped).drop_columns(["__salt"])

@@ -41,6 +41,18 @@ def ensure_worker_thread_limits(cpu: int = 1, io: int = 2) -> None:
     _THREADS_TUNED = True
 
 
+def from_pandas_clean(df, schema=None):
+    """pandas → Arrow with NO pandas schema metadata.  Blocks that carry
+    ``b'pandas'`` metadata defeat Ray's block-schema dedup in shuffle
+    reduce tasks ("Failed to hash the schemas … unhashable type: 'dict'"
+    warning spam) — every map_groups/map_batches kernel that builds its
+    output from a DataFrame should return through here."""
+    import pyarrow as pa
+
+    t = pa.Table.from_pandas(df, schema=schema, preserve_index=False)
+    return t.replace_schema_metadata(None)
+
+
 def cached_get(ref, build: Callable[[Any], Any] | None = None, key: str | None = None):
     if isinstance(ref, ray.ObjectRef):
         k = ref.hex()

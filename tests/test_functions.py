@@ -91,6 +91,80 @@ def test_minhash_lsh_finds_near_dupes(ray_session):
     assert all(comp.get(i, i) != 0 for i in range(20, 40))
 
 
+def test_lsh_bucket_cap_star_links(ray_session):
+    """10k-identical-doc degenerate corpus: every doc lands in the same
+    LSH bucket; the cap must star-link (O(n) pairs) instead of emitting
+    O(n²) — the run completes in seconds and connectivity is preserved."""
+    import ray.data as rd
+
+    n = 5000
+    ds = rd.from_items(
+        [{"doc_id": i, "text": "the same boilerplate text " * 4} for i in range(n)]
+    )
+    pairs = fdedup.minhash_lsh_candidates(ds, n_hashes=16, bands=4).to_pandas()
+    assert len(pairs) == n - 1  # star: min id ↔ each other member
+    comp = fdedup.connected_components(
+        list(zip(pairs["id_a"].astype(int), pairs["id_b"].astype(int)))
+    )
+    assert all(comp.get(i, i) == 0 for i in range(n))
+
+
+def test_verify_pairs_indexed_matches_broadcast_and_prunes(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    base = "spark ray data table scan join filter merge sort window batch stream "
+    texts = {}
+    for i in range(2000):
+        texts[i] = (base * 3 + f"u{i}") if i < 20 else f"distinct text number {i} " * 5
+    docs = pa.table(
+        {"doc_id": list(range(2000)), "text": [texts[i] for i in range(2000)]}
+    )
+    path = str(tmp_path / "documents.parquet")
+    pq.write_table(docs, path, row_group_size=128)  # many row groups → prunable
+
+    # row-group pruning: asking for 4 ids in one row group must read ≪ table
+    idx = fdedup.DocTextIndex(path)
+    got = idx.read_texts([3, 5, 7, 9])
+    assert got[3] == texts[3] and len(got) == 4
+    assert idx.rows_read <= 128  # one row group, not 2000 rows
+
+    cand = [(a, b) for a in range(10) for b in range(a + 1, 12)]
+    pairs = rd.from_items([{"id_a": a, "id_b": b} for a, b in cand])
+    out_idx = (
+        fdedup.verify_pairs_jaccard_indexed(pairs, path, 0.7)
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    texts_ref = ray.put(texts)
+    pairs2 = rd.from_items([{"id_a": a, "id_b": b} for a, b in cand])
+    out_bc = (
+        fdedup.verify_pairs_jaccard(pairs2, texts_ref, 0.7)
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        out_idx.astype({"id_a": int, "id_b": int}),
+        out_bc.astype({"id_a": int, "id_b": int}),
+    )
+    assert len(out_idx) > 0
+
+
+def test_session_buckets_scale_with_config():
+    from crawler_uni_ray.pipelines.queries import session_bucket_ids
+
+    uids = np.arange(10_000, dtype=np.int64)
+    b = session_bucket_ids(uids, 256)
+    assert len(np.unique(b)) > 16  # parallelism no longer capped at 16
+    assert b.min() >= 0 and b.max() < 256
+    # deterministic: same user → same bucket on every call
+    assert (session_bucket_ids(uids, 256) == b).all()
+
+
 def test_ann_bruteforce_exact(ray_session):
     import ray.data as rd
 
