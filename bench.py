@@ -153,7 +153,6 @@ def bench_level() -> dict:
     import ray.data
 
     from crawler_uni_ray.pipelines.crawl import CrawlConfig, CrawlEngine
-    from crawler_uni_ray.urlnorm import hosts_batch
 
     corpus = ensure_corpus(LEVEL_HOSTS, LEVEL_PAGES, LEVEL_FILLER)
     ckpt = f"/dev/shm/graft_level_ckpt_{NUM_CPUS}"  # tmpfs: no disk-write noise
@@ -172,16 +171,9 @@ def bench_level() -> dict:
     )
 
     def _to_frontier(t: pa.Table) -> pa.Table:
-        urls = t["url"].to_pylist()
-        return pa.Table.from_arrays(
-            [
-                t["url"].combine_chunks(),
-                pa.array(list(hosts_batch(urls)), pa.string()),
-                pa.array([0] * len(urls), pa.int32()),
-                pa.array([0.0] * len(urls), pa.float64()),
-            ],
-            names=["url", "host", "depth", "priority"],
-        )
+        from crawler_uni_ray.stages.frontier import frontier_table
+
+        return frontier_table(t["url"].to_pylist())
 
     from crawler_uni_ray.sources import read_pages
 

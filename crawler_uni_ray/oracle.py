@@ -67,6 +67,7 @@ def crawl_oracle(
     *,
     max_per_host_per_level: int | None = None,
     robots: dict[str, str] | None = None,
+    priority_policy: str = "none",
     max_levels: int = 1000,
 ) -> CrawlResult:
     """Run the level-synchronous reference loop over an in-memory corpus.
@@ -75,35 +76,46 @@ def crawl_oracle(
     is the [NR] politeness budget (None = unlimited, pure reference
     semantics).  ``robots`` maps host → robots.txt body ([NR]; None = off,
     as in the reference, which never reads robots.txt).
+    ``priority_policy`` ([NR], spec in stages/priority.py): ``"none"`` →
+    per-host scheduling order is lexicographic; ``"indegree"`` → order by
+    (-priority, url) with priority = referrer count at discovery level,
+    deferred rows keep their priority, merge rule max(deferred, new).
     """
     res = CrawlResult()
     rp = _build_robots(robots) if robots else {}
-    frontier: list[str] = [f"https://{domain}"]  # raw seed, crawler.py:76
+    # frontier: url → priority (the engine's frontier table, driver-sized)
+    frontier: dict[str, float] = {f"https://{domain}": 0.0}  # raw seed, crawler.py:76
     level = 0
     while frontier and level < max_levels:
         # dedup at dequeue (crawler.py:55-59); dedup within level too
-        candidates = sorted({u for u in frontier if u not in res.visited_depth})
+        candidates = {
+            u: p for u, p in frontier.items() if u not in res.visited_depth
+        }
         # [NR] robots gate: drop disallowed before scheduling
         if rp:
-            candidates = [
-                u
-                for u in candidates
+            candidates = {
+                u: p
+                for u, p in candidates.items()
                 if host_of(u) not in rp or rp[host_of(u)].can_fetch("*", u)
-            ]
-        # [NR] politeness: per host, lexicographic order, keep B, defer rest
+            }
+        # [NR] politeness: per host, order by (-priority, url), keep B,
+        # defer the rest (priority ≡ 0 under the "none" policy)
         scheduled: list[str] = []
-        deferred: list[str] = []
+        deferred: dict[str, float] = {}
         if max_per_host_per_level is None:
-            scheduled = candidates
+            scheduled = sorted(candidates)
         else:
             by_host: dict[str, list[str]] = {}
-            for u in candidates:  # already sorted lexicographically
+            for u in sorted(candidates, key=lambda u: (-candidates[u], u)):
                 by_host.setdefault(host_of(u), []).append(u)
             for host in sorted(by_host):
                 urls = by_host[host]
                 scheduled.extend(urls[:max_per_host_per_level])
-                deferred.extend(urls[max_per_host_per_level:])
-        next_frontier: list[str] = list(deferred)
+                deferred.update(
+                    (u, candidates[u]) for u in urls[max_per_host_per_level:]
+                )
+        next_frontier: dict[str, float] = dict(deferred)
+        new_counts: dict[str, int] = {}
         n_miss = 0
         for url in scheduled:
             res.visited_depth[url] = level
@@ -115,8 +127,18 @@ def crawl_oracle(
             res.text[url] = text
             for link in sorted(links):
                 res.all_links.add(link)
-                if is_in_scope(link, domain) and link not in res.visited_depth:
-                    next_frontier.append(link)
+                if is_in_scope(link, domain):
+                    # count every in-scope referrer (engine counts before
+                    # the seen filter; already-visited urls are filtered
+                    # at the next level's dequeue either way)
+                    new_counts[link] = new_counts.get(link, 0) + 1
+        for link, cnt in new_counts.items():
+            if link in res.visited_depth and link not in next_frontier:
+                # purely-revisited link: keep out of the frontier dict to
+                # keep the loop's termination check meaningful
+                continue
+            pr = float(cnt) if priority_policy == "indegree" else 0.0
+            next_frontier[link] = max(next_frontier.get(link, 0.0), pr)
         res.level_metrics.append(
             {
                 "level": level,

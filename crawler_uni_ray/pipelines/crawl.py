@@ -56,15 +56,20 @@ import ray
 import ray.data
 from ray.data import Dataset
 
-from ..ops import dedup_exact
+from ..ops import add_hash_bucket, dedup_exact
 from ..stages.extract_stage import extract_stage, flatten_outlinks
 from ..stages.fetch import fetch_broadcast, fetch_join, fetch_partitioned
-from ..stages.frontier import FRONTIER_SCHEMA
+from ..stages.frontier import FRONTIER_SCHEMA, frontier_table
+from ..stages.priority import (
+    combine_frontier_pandas,
+    deferred_partials_pandas,
+    new_partials_pandas,
+)
 from ..stages.robots import _build_parsers, robots_filter, robots_mask
 from ..stages.schedule import schedule_flags_pandas, schedule_level, schedule_level_fused
 from ..stages.seen_stage import seen_add, seen_filter
 from ..state.seen import ShardedSeen
-from ..urlnorm import hosts_batch, hosts_batch_cleaned
+from ..urlnorm import hosts_batch_cleaned
 
 
 @dataclass
@@ -75,6 +80,7 @@ class CrawlConfig:
     corpus_dict: dict[str, bytes] | None = None  # in-memory corpus (tests)
     seeds: list[str] | None = None  # default: [f"https://{domain}"] (crawler.py:76)
     budget: int | None = None  # [NR] per-host fetches per level; None = unlimited
+    priority_policy: str = "none"  # [NR] "none" | "indegree" (stages/priority.py)
     robots: dict[str, str] | None = None  # [NR] host → robots.txt body
     seen_backend: str = "exact"  # "exact" | "bloom"
     num_seen_shards: int = 4
@@ -172,6 +178,20 @@ def _write_atomic_table(tbl: pa.Table, final_dir: str) -> int:
     pq.write_table(tbl, os.path.join(tmp, "part-0.parquet"))
     os.rename(tmp, final_dir)
     return tbl.num_rows
+
+
+# combine-input rows for the frontier merge (stages/priority.py):
+# frontier columns + partial indegree count (deferred rows carry -1)
+_COMBINE_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("host", pa.string()),
+        ("depth", pa.int32()),
+        ("priority", pa.float64()),
+        ("discovered_from", pa.string()),
+        ("__cnt", pa.int64()),
+    ]
+)
 
 
 class CrawlEngine:
@@ -282,7 +302,7 @@ class CrawlEngine:
                 urls, frontier_tbl["host"].to_pylist(), self._robots_parsers
             )
         cand = frontier_tbl.filter(pa.array(mask))
-        df = cand.select(["url", "host", "priority"]).to_pandas()
+        df = cand.select(["url", "host", "priority", "seq"]).to_pandas()
         flags = schedule_flags_pandas(df, cfg.budget)
         scheduled_tbl = cand.filter(pa.array(flags))
         deferred_tbl = cand.filter(pa.array(~flags))
@@ -315,27 +335,36 @@ class CrawlEngine:
                 ray.data.from_arrow(scheduled_tbl), k
             )
 
-        # next frontier = in-scope outlinks ∪ deferred, exact-deduped on url
+        # next frontier = in-scope outlinks ∪ deferred, combined per url by
+        # the priority policy (stages/priority.py — deterministic merge)
         res = _read_table(
             self._lvl(k, "results"), self.RESULTS_SCHEMA, columns=["url", "outlinks"]
         )
-        flat = pa.compute.list_flatten(res["outlinks"])
+        col = res["outlinks"].combine_chunks()
+        flat = pa.compute.list_flatten(col)
+        srcs = pa.compute.take(
+            res["url"].combine_chunks(), pa.compute.list_parent_indices(col)
+        )
         out_urls = flat.to_pylist()
         n_outlinks = len(out_urls)
         out_hosts = hosts_batch_cleaned(out_urls)  # outlinks are cleaned urls
         out_scope = out_hosts.str.endswith(cfg.domain).fillna(False).to_numpy(dtype=bool)
-        next_df = pd.DataFrame(
-            {
-                "url": np.asarray(out_urls, dtype=object)[out_scope],
-                "host": out_hosts.to_numpy(dtype=object)[out_scope],
-            }
-        )
-        next_df["depth"] = np.int32(k + 1)
-        next_df["priority"] = 0.0
+        parts = [
+            new_partials_pandas(
+                np.asarray(out_urls, dtype=object)[out_scope],
+                out_hosts.to_numpy(dtype=object)[out_scope],
+                np.full(int(out_scope.sum()), k + 1, dtype=np.int32),
+                np.asarray(srcs.to_pylist(), dtype=object)[out_scope],
+            )
+        ]
         if deferred_tbl.num_rows:
-            next_df = pd.concat([next_df, deferred_tbl.to_pandas()], ignore_index=True)
-        next_df = next_df.drop_duplicates(subset=["url"])
-        next_tbl = pa.Table.from_pandas(next_df, schema=FRONTIER_SCHEMA, preserve_index=False)
+            parts.append(deferred_partials_pandas(deferred_tbl.to_pandas()))
+        next_df = combine_frontier_pandas(
+            pd.concat(parts, ignore_index=True), cfg.priority_policy
+        )
+        next_tbl = pa.Table.from_pandas(
+            next_df, schema=FRONTIER_SCHEMA, preserve_index=False
+        ).replace_schema_metadata(None)
         n_next = _write_atomic_table(next_tbl, self._lvl(k, "frontier_next"))
 
         self._finish_level(
@@ -426,30 +455,50 @@ class CrawlEngine:
         )
         outlinks = flatten_outlinks(results_ds, cfg.domain)
 
-        def _next_rows(t: pa.Table) -> pa.Table:
+        def _next_partials(t: pa.Table) -> pa.Table:
+            # local pre-aggregation (combiner): one row per distinct url
+            # per batch with its partial referrer count — hub-heavy
+            # outlink batches collapse before the shuffle moves rows
             m = np.asarray(t["in_scope"].to_pylist(), dtype=bool)
             t = t.filter(pa.array(m))
-            # local pre-dedup (combiner): hub-heavy outlink batches carry
-            # many repeats — drop them before the dedup shuffle moves rows
-            df = pd.DataFrame(
-                {"url": t["url"].to_pylist(), "host": t["host"].to_pylist(),
-                 "depth": t["depth"].to_pylist()}
-            ).drop_duplicates(subset=["url"])
-            df["priority"] = 0.0
+            g = new_partials_pandas(
+                t["url"].to_pylist(),
+                t["host"].to_pylist(),
+                t["depth"].to_pylist(),
+                t["src_url"].to_pylist(),
+            )
             return pa.Table.from_pandas(
-                df, schema=FRONTIER_SCHEMA, preserve_index=False
+                g, schema=_COMBINE_SCHEMA, preserve_index=False
             ).replace_schema_metadata(None)
 
-        next_candidates = outlinks.map_batches(_next_rows, batch_format="pyarrow").union(
-            deferred
-        )
-        # bucket the dedup with the SAME url hash modulus as the corpus
+        def _deferred_partials(t: pa.Table) -> pa.Table:
+            g = deferred_partials_pandas(t.to_pandas())
+            return pa.Table.from_pandas(
+                g, schema=_COMBINE_SCHEMA, preserve_index=False
+            ).replace_schema_metadata(None)
+
+        next_candidates = outlinks.map_batches(
+            _next_partials, batch_format="pyarrow"
+        ).union(deferred.map_batches(_deferred_partials, batch_format="pyarrow"))
+        # bucket the combine with the SAME url hash modulus as the corpus
         # partitioning so frontier_next files come out partition-aligned
         # and the next level's fetch touches ~1 partition per batch
         dedup_buckets = (
             cfg.num_corpus_shards if self._fetch_mode == "partitioned" else cfg.n_buckets
         )
-        frontier_next = dedup_exact(next_candidates, "url", n_buckets=dedup_buckets)
+        policy = cfg.priority_policy
+
+        def _combine(g: pd.DataFrame) -> pa.Table:
+            out = combine_frontier_pandas(g.drop(columns=["__bucket"]), policy)
+            return pa.Table.from_pandas(
+                out, schema=FRONTIER_SCHEMA, preserve_index=False
+            ).replace_schema_metadata(None)
+
+        frontier_next = (
+            add_hash_bucket(next_candidates, "url", dedup_buckets)
+            .groupby("__bucket")
+            .map_groups(_combine, batch_format="pandas")
+        )
         n_next = _write_atomic(frontier_next, self._lvl(k, "frontier_next"))
 
         _t_next = _time.time() - _t0 - _t_main
@@ -505,16 +554,7 @@ class CrawlEngine:
         shutil.rmtree(self.cfg.ckpt_dir, ignore_errors=True)
         os.makedirs(self.cfg.ckpt_dir, exist_ok=True)
         seeds = self.cfg.seeds or [f"https://{self.cfg.domain}"]
-        tbl = pa.Table.from_arrays(
-            [
-                pa.array(seeds, pa.string()),
-                pa.array(list(hosts_batch(seeds)), pa.string()),
-                pa.array([0] * len(seeds), pa.int32()),
-                pa.array([0.0] * len(seeds), pa.float64()),
-            ],
-            schema=FRONTIER_SCHEMA,
-        )
-        return self._loop(0, seed_tbl=tbl)
+        return self._loop(0, seed_tbl=frontier_table(seeds))
 
     def resume(self) -> list[LevelMetrics]:
         """Restart after the last committed level: replay seen deltas from

@@ -3,7 +3,7 @@
 threads, /root/reference/crawler.py:75-83).
 
 Semantics (shared spec with oracle.py): per host and level, order
-candidates by ``(-priority, url)`` and keep the first ``budget``; the rest
+candidates by ``(-priority, url, seq)`` and keep the first ``budget``; the rest
 are DEFERRED (never dropped) and carry into the next level's frontier.
 
 Physical plan: hash-bucket the frontier by host (the single scheduling
@@ -48,14 +48,18 @@ def host_counts(ds: Dataset, url_col: str = "url") -> pd.DataFrame:
 
 
 def _rank_within(g: pd.DataFrame, by: list[str]) -> np.ndarray:
-    order = g.sort_values(["priority", "url"], ascending=[False, True], kind="mergesort")
+    # (-priority, url, seq): url is unique per level so seq is the stable
+    # last-resort tiebreak (SURVEY.md §1.2); absent on ad-hoc frames
+    keys = ["priority", "url"] + (["seq"] if "seq" in g.columns else [])
+    asc = [False] + [True] * (len(keys) - 1)
+    order = g.sort_values(keys, ascending=asc, kind="mergesort")
     rank = order.groupby(by, sort=False).cumcount()
     return rank.reindex(g.index).to_numpy()
 
 
 def schedule_flags_pandas(df: pd.DataFrame, budget: int | None) -> np.ndarray:
     """Pure scheduling kernel: bool mask of rows kept under the per-host
-    budget, ordered by (-priority, url).  Shared by the distributed
+    budget, ordered by (-priority, url, seq).  Shared by the distributed
     per-bucket stage and the crawl loop's small-level driver path — ONE
     source of truth for the politeness semantics (mirrored in oracle.py)."""
     if budget is None or len(df) == 0:

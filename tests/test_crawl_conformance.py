@@ -177,6 +177,57 @@ def test_max_pages_guard(ray_session, tiny_corpus, tmp_path):
     assert eng.committed_levels() == list(range(len(eng.metrics)))
 
 
+@pytest.mark.parametrize("small_rows", [50_000, 0])
+def test_indegree_priority_conformance(ray_session, tiny_corpus, tmp_path, small_rows):
+    """A real priority policy (A3): indegree priorities change which URLs
+    are scheduled under a tight budget, and the engine still matches the
+    oracle exactly on both physical paths."""
+    oracle = crawl_oracle(
+        tiny_corpus, DOMAIN, max_per_host_per_level=2, priority_policy="indegree"
+    )
+    eng = CrawlEngine(
+        CrawlConfig(
+            domain=DOMAIN,
+            ckpt_dir=str(tmp_path / "c"),
+            corpus_dict=tiny_corpus,
+            budget=2,
+            priority_policy="indegree",
+            small_level_rows=small_rows,
+        )
+    )
+    eng.run()
+    _assert_conformance(eng, oracle, check_text=False)
+    # the policy is not inert: scheduling differs from the lexicographic
+    # none-policy plan under the same budget
+    base = crawl_oracle(tiny_corpus, DOMAIN, max_per_host_per_level=2)
+    assert oracle.visited_depth != base.visited_depth
+
+
+def test_frontier_lineage_columns(ray_session, tiny_corpus, tmp_path):
+    """frontier_next carries discovered_from (min referrer) and seq
+    (stable intra-level tiebreak) — SURVEY.md §1.2 lineage columns."""
+    import pyarrow.parquet as pq
+
+    eng = CrawlEngine(
+        CrawlConfig(
+            domain=DOMAIN,
+            ckpt_dir=str(tmp_path / "c"),
+            corpus_dict=tiny_corpus,
+            priority_policy="indegree",
+        )
+    )
+    eng.run()
+    f = str(tmp_path / "c" / "level_0000" / "frontier_next" / "part-0.parquet")
+    t = pq.read_table(f)
+    assert {"discovered_from", "seq", "priority"} <= set(t.column_names)
+    dfrom = [d for d in t["discovered_from"].to_pylist() if d]
+    assert dfrom and all(d.startswith("https://") for d in dfrom)
+    # level-0 discoveries all come from the seed page
+    assert set(dfrom) == {f"https://{DOMAIN}"}
+    # indegree priorities present and positive
+    assert max(t["priority"].to_pylist()) >= 1.0
+
+
 def test_priority_ordering_in_schedule():
     """Higher priority wins under a tight budget; ties break on url."""
     import pandas as pd
