@@ -1,0 +1,96 @@
+"""Runnable CLI mirroring the reference's ``main()``
+(/root/reference/crawler.py:111-135): domain in → BFS crawl → sorted
+unique ``links.txt`` out — on the Ray-Data engine, with the [NR] knobs
+(politeness budget, priority policy, resume, fetch modes) exposed.
+
+    python -m crawler_uni_ray --domain example.com \
+        --corpus /path/to/part_hash_dirs --ckpt /tmp/ckpt --out links.txt
+
+This module OWNS the Ray session (library code never calls ray.init —
+CLAUDE.md); the driver/bench/pytest entry points never import it.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from urllib.parse import urlparse
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="crawler_uni_ray",
+        description="Ray-Data BFS crawl: domain in, sorted links.txt out.",
+    )
+    p.add_argument("--domain", required=True, help="crawl scope (scheme stripped)")
+    p.add_argument("--corpus", help="pages parquet (part_hash=NN dirs or flat)")
+    p.add_argument("--ckpt", required=True, help="checkpoint dir (durable levels)")
+    p.add_argument("--out", default="links.txt", help="links artifact path")
+    p.add_argument(
+        "--fetch-mode",
+        default="auto",
+        choices=["auto", "broadcast", "join", "partitioned", "http"],
+    )
+    p.add_argument("--num-corpus-shards", type=int, default=8)
+    p.add_argument("--budget", type=int, help="per-host fetches per level")
+    p.add_argument(
+        "--priority-policy", default="none", choices=["none", "indegree"]
+    )
+    p.add_argument("--max-pages", type=int)
+    p.add_argument("--max-levels", type=int, default=1000)
+    p.add_argument("--seeds", nargs="*", help="override the default https://domain seed")
+    p.add_argument("--resume", action="store_true", help="continue after last committed level")
+    p.add_argument("--num-cpus", type=int, help="ray.init num_cpus (default: all)")
+    p.add_argument("--quiet", action="store_true", help="suppress per-level progress")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = _build_parser().parse_args(argv)
+    # seed normalization, reference-exact (crawler.py:121-122):
+    # strip an http(s):// prefix via urlparse().netloc
+    domain = args.domain
+    if domain.startswith(("http://", "https://")):
+        domain = urlparse(domain).netloc
+    if args.fetch_mode not in ("http",) and not args.corpus:
+        print("error: --corpus is required unless --fetch-mode http", file=sys.stderr)
+        return 2
+
+    import ray
+
+    if not ray.is_initialized():
+        kw = {"num_cpus": args.num_cpus} if args.num_cpus else {}
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR", **kw)
+    try:
+        from .pipelines.crawl import CrawlConfig, CrawlEngine
+
+        cfg = CrawlConfig(
+            domain=domain,
+            ckpt_dir=args.ckpt,
+            corpus_path=args.corpus,
+            fetch_mode=args.fetch_mode,
+            num_corpus_shards=args.num_corpus_shards,
+            budget=args.budget,
+            priority_policy=args.priority_policy,
+            max_pages=args.max_pages,
+            max_levels=args.max_levels,
+            seeds=args.seeds or None,
+            verbose=not args.quiet,
+        )
+        eng = CrawlEngine(cfg)
+        t0 = time.time()  # wall-clock print mirrors crawler.py:128-133
+        eng.resume() if args.resume else eng.run()
+        n_visited = len(eng.visited_depth())
+        n_links = eng.save_links_txt(args.out)
+        dt = time.time() - t0
+        print(f"Crawling completed in {dt:.2f} seconds")
+        print(f"Visited {n_visited} URLs over {len(eng.metrics)} levels")
+        print(f"Found {n_links} unique links -> {args.out}")
+        return 0
+    finally:
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

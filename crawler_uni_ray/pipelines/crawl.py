@@ -58,7 +58,7 @@ from ray.data import Dataset
 
 from ..ops import add_hash_bucket, dedup_exact
 from ..stages.extract_stage import extract_stage, flatten_outlinks
-from ..stages.fetch import fetch_broadcast, fetch_join, fetch_partitioned
+from ..stages.fetch import fetch_broadcast, fetch_http, fetch_join, fetch_partitioned
 from ..stages.frontier import FRONTIER_SCHEMA, frontier_table
 from ..stages.priority import (
     combine_frontier_pandas,
@@ -85,7 +85,9 @@ class CrawlConfig:
     seen_backend: str = "exact"  # "exact" | "bloom"
     num_seen_shards: int = 4
     bloom_bits: int = 1 << 24
-    fetch_mode: str = "auto"  # auto | broadcast | join | partitioned
+    fetch_mode: str = "auto"  # auto | broadcast | join | partitioned | http
+    http_timeout: float = 10.0  # http mode: per-request timeout (crawler.py:30)
+    http_concurrency: int | tuple = (1, 4)  # http mode: fetch actor pool size
     num_corpus_shards: int = 8  # partitioning of corpus_path
     n_buckets: int = 32  # scheduling/dedup hash buckets
     n_salts: int = 8
@@ -98,6 +100,7 @@ class CrawlConfig:
     driver_fetch_rows: int = 2000  # broadcast-mode only: fetch+extract tiny
     # levels on the driver (same pure kernels; 0 = never)
     level_read_blocks: int = 64  # coalesce frontier files into ~this many blocks
+    verbose: bool = False  # print one progress line as each level commits
 
 
 @dataclass
@@ -264,6 +267,12 @@ class CrawlEngine:
     def _fetch(self, scheduled: Dataset) -> Dataset:
         if self._fetch_mode == "broadcast":
             return fetch_broadcast(scheduled, self._corpus_ref)
+        if self._fetch_mode == "http":
+            return fetch_http(
+                scheduled,
+                timeout=self.cfg.http_timeout,
+                concurrency=self.cfg.http_concurrency,
+            )
         if self._fetch_mode == "join":
             if self._pages_ds is None:
                 self._pages_ds = ray.data.read_parquet(
@@ -530,6 +539,13 @@ class CrawlEngine:
     def _finish_level(self, k: int, m: LevelMetrics) -> None:
         self.metrics.append(m)
         self._commit_manifest(k, m)
+        if self.cfg.verbose:  # streaming progress surface (per-level)
+            print(
+                f"level {k}: frontier={m.n_frontier} scheduled={m.n_scheduled} "
+                f"fetched={m.n_fetched} miss={m.n_fetch_miss} "
+                f"deferred={m.n_deferred} next={m.n_frontier_next} [{m.path}]",
+                flush=True,
+            )
 
     def _commit_manifest(self, k: int, m: LevelMetrics) -> None:
         """The commit record — written last.  Per-partition lineage: every

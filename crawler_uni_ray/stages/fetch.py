@@ -9,6 +9,11 @@ exception-swallow (/root/reference/crawler.py:45-46).  Three physical modes:
   frontier × pages, left-outer.  Correct at any scale but re-streams the
   FULL pages table every level — use when a level touches a large fraction
   of the corpus.
+* ``http`` — REAL network fetch (T2): an actor pool of ``HttpFetcher``s,
+  each holding one ``requests.Session`` (connection pool + desktop UA,
+  the reference's shared-session shape, crawler.py:18-21) with
+  ``timeout=10`` and ``raise_for_status`` — any exception → the row stays
+  with ``fetched=False`` and zero outlinks (crawler.py:30-31,45-46).
 * ``partitioned`` — the scale default.  The corpus lives as
   ``part_hash=NN/`` parquet dirs hash-partitioned by url
   (corpus.write_corpus_parquet); the frontier is bucketed by the SAME hash
@@ -61,6 +66,66 @@ def fetch_join(ds: Dataset, pages: Dataset, num_partitions: int = 32) -> Dataset
         return t.append_column("fetched", fetched)
 
     return joined.map_batches(_flag, batch_format="pyarrow")
+
+
+class HttpFetcher:
+    """Stateful fetch actor (SURVEY.md §2.4 T2): the per-actor
+    ``requests.Session`` is built ONCE in ``__init__`` (connection pool +
+    spoofed desktop UA header, mirroring /root/reference/crawler.py:18-21);
+    ``__call__`` fetches one batch, parallelizing the network wait over a
+    small thread pool (the reference's 10-thread I/O concurrency,
+    crawler.py:75, lives *inside* each actor here).  Error semantics are
+    reference-exact: ``raise_for_status`` + any exception → ``html=None``,
+    ``fetched=False`` — the page stays visited with zero outlinks
+    (crawler.py:30-31,45-46)."""
+
+    USER_AGENT = (
+        "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 "
+        "(KHTML, like Gecko) Chrome/120.0 Safari/537.36"
+    )
+
+    def __init__(self, timeout: float = 10.0, threads: int = 10):
+        import requests
+        from concurrent.futures import ThreadPoolExecutor
+
+        self.session = requests.Session()
+        self.session.headers.update({"User-Agent": self.USER_AGENT})
+        self.timeout = timeout
+        self.pool = ThreadPoolExecutor(max_workers=threads)
+
+    def _get(self, url: str) -> bytes | None:
+        try:
+            resp = self.session.get(url, timeout=self.timeout)
+            resp.raise_for_status()  # non-2xx → exception → miss
+            return resp.content
+        except Exception:
+            return None  # timeout / refused / DNS / non-2xx — all silent
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        urls = t["url"].to_pylist()
+        htmls = list(self.pool.map(self._get, urls))
+        fetched = np.fromiter((h is not None for h in htmls), bool, count=len(htmls))
+        return t.append_column("html", pa.array(htmls, pa.binary())).append_column(
+            "fetched", pa.array(fetched)
+        )
+
+
+def fetch_http(
+    ds: Dataset,
+    timeout: float = 10.0,
+    concurrency: int | tuple[int, int] = (1, 4),
+    batch_size: int = 64,
+) -> Dataset:
+    """Actor-pool live fetch.  Sizing: each actor overlaps ~10 in-flight
+    requests; scale the pool (``concurrency``) to the politeness budget —
+    the per-host scheduler upstream already bounds per-host pressure."""
+    return ds.map_batches(
+        HttpFetcher,
+        fn_constructor_kwargs={"timeout": timeout},
+        concurrency=concurrency,
+        batch_size=batch_size,
+        batch_format="pyarrow",
+    )
 
 
 class _PartitionIndex:

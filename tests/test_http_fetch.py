@@ -1,0 +1,118 @@
+"""Real-HTTP fetch stage (T2) against a local socket server: error
+semantics (miss / timeout / non-200 → silent zero-outlink rows,
+/root/reference/crawler.py:30-31,45-46) and downstream conformance with
+corpus-replay mode on the same link graph."""
+
+import http.server
+import threading
+import time
+
+import pytest
+import ray.data
+
+from crawler_uni_ray.pipelines.crawl import CrawlConfig, CrawlEngine
+from crawler_uni_ray.stages.fetch import fetch_http
+from crawler_uni_ray.stages.frontier import frontier_table
+
+PAGES = {
+    "index.html": (
+        '<a href="a.html">a</a><a href="b.html">b</a>'
+        '<a href="missing.html">m</a><a href="slow.html">s</a>'
+        '<a href="http://offsite.example.org/x">off</a>'
+    ),
+    "a.html": '<a href="b.html">b</a>',
+    "b.html": '<a href="index.html">home</a>',
+}
+
+
+def _html(body: str) -> bytes:
+    return f"<html><body>{body}</body></html>".encode()
+
+
+class _Handler(http.server.BaseHTTPRequestHandler):
+    def do_GET(self):
+        name = self.path.lstrip("/")
+        if name == "slow.html":
+            time.sleep(3)  # > the test's http_timeout → client-side miss
+        if name in PAGES:
+            body = _html(PAGES[name])
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+        else:
+            self.send_error(404)
+
+    def log_message(self, *a):  # keep pytest output clean
+        pass
+
+
+@pytest.fixture
+def http_site():
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), _Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def test_http_fetch_stage_semantics(ray_session, http_site):
+    """Hit → bytes; 404 → miss; timeout → miss; refused port → miss —
+    never a task failure (errors are data)."""
+    urls = [
+        f"http://{http_site}/index.html",
+        f"http://{http_site}/missing.html",  # 404
+        f"http://{http_site}/slow.html",  # sleeps 3 s > timeout
+        "http://127.0.0.1:9/none",  # connection refused (discard port)
+    ]
+    ds = ray.data.from_arrow(frontier_table(urls))
+    out = fetch_http(ds, timeout=1.0, concurrency=1).to_pandas().set_index("url")
+    assert out.loc[urls[0], "fetched"] and out.loc[urls[0], "html"] == _html(
+        PAGES["index.html"]
+    )
+    for u in urls[1:]:
+        assert not out.loc[u, "fetched"] and out.loc[u, "html"] is None
+
+
+def test_http_crawl_matches_replay(ray_session, http_site, tmp_path):
+    """Full BFS over the live server ≡ corpus-replay BFS over the same
+    graph: identical visited sets, links artifact and miss rows."""
+    domain = http_site  # netloc incl. port — the reference's scope quirk
+    seeds = [f"http://{domain}/index.html"]
+    eng_http = CrawlEngine(
+        CrawlConfig(
+            domain=domain,
+            seeds=seeds,
+            fetch_mode="http",
+            http_timeout=1.0,
+            ckpt_dir=str(tmp_path / "http"),
+        )
+    )
+    eng_http.run()
+
+    corpus = {f"http://{domain}/{n}": _html(b) for n, b in PAGES.items()}
+    # slow.html times out live → equivalently absent from the replay corpus
+    eng_rep = CrawlEngine(
+        CrawlConfig(
+            domain=domain,
+            seeds=seeds,
+            corpus_dict=corpus,
+            fetch_mode="broadcast",
+            ckpt_dir=str(tmp_path / "rep"),
+        )
+    )
+    eng_rep.run()
+
+    assert eng_http.visited_depth() == eng_rep.visited_depth()
+    links_http = [r["url"] for r in eng_http.all_links_sorted().take_all()]
+    links_rep = [r["url"] for r in eng_rep.all_links_sorted().take_all()]
+    assert links_http == links_rep
+    # misses recorded as visited, fetch_status 0, zero outlinks
+    miss = {
+        r["url"]: r["fetch_status"]
+        for r in eng_http.results_dataset().take_all()
+    }
+    assert miss[f"http://{domain}/missing.html"] == 0
+    assert miss[f"http://{domain}/slow.html"] == 0
+    assert miss[f"http://{domain}/index.html"] == 1
