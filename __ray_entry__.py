@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_by_brand": q.parts_by_brand,
         "suppliers_per_nation": q.suppliers_per_nation,
         "lineitem_date_range": q.lineitem_date_range,
+        "docs_sample": q.docs_sample,
         # dedup suite
         "docs_dedup_exact": q.docs_dedup_exact,
         "docs_minhash_clusters": q.docs_minhash_clusters,
@@ -171,6 +172,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, MIN(l_shipdate) AS first_ship,
                    MAX(l_shipdate) AS last_ship, COUNT(*) AS n
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "docs_sample": """
+            SELECT doc_id, n_chars FROM documents
+            WHERE doc_id % 10 = 0 ORDER BY doc_id
         """,
         "docs_dedup_exact": """
             SELECT MIN(doc_id) AS doc_id, text

@@ -68,6 +68,24 @@ def dedup_exact_first(
     return bucketed.groupby("__bucket").map_groups(_dedup, batch_format="pandas")
 
 
+def sample_random(ds: Dataset, fraction: float, seed: int | None = None) -> Dataset:
+    """A8: seeded passthrough of ``Dataset.random_sample`` (per-block
+    Bernoulli — streams, never materializes)."""
+    return ds.random_sample(fraction, seed=seed)
+
+
+def sample_hash(ds: Dataset, key: str, keep_mod: int, n_mod: int = 10) -> Dataset:
+    """A8, the reproducible form: keep rows with ``hash(key) % n_mod ==
+    keep_mod`` — a deterministic systematic sample any engine (or SQL
+    oracle) can replay exactly, unlike an RNG draw."""
+
+    def _f(t: pa.Table) -> pa.Table:
+        h = url_hash_batch(t[key].to_pylist()) % n_mod
+        return t.filter(pa.array(h == keep_mod))
+
+    return ds.map_batches(_f, batch_format="pyarrow")
+
+
 def anti_join_broadcast(ds: Dataset, key: str, keys_ref) -> Dataset:
     """``ds`` rows whose ``key`` is NOT in the broadcast key set.
     ``keys_ref`` is a ``ray.put`` ObjectRef of a Python set (or a plain

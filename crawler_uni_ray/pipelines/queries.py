@@ -299,6 +299,21 @@ def lineitem_date_range(sf_dir: str) -> pd.DataFrame:
 # ------------------------------------------------------------------ dedup / text / similarity
 
 
+def docs_sample(sf_dir: str) -> pd.DataFrame:
+    """A8 sampling, SQL-checkable form: deterministic 10% systematic
+    sample on doc_id modulo (the reproducible sample the driver can
+    hash-compare; ops.sample_random wraps the seeded Bernoulli variant,
+    pytest-verified)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def _mod(t: pa.Table) -> pa.Table:
+        keep = np.asarray(t["doc_id"].to_numpy()) % 10 == 0
+        return t.filter(pa.array(keep))
+
+    out = ds.map_batches(_mod, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def docs_dedup_exact(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     out = fdedup.exact_dedup(ds, "text", "doc_id").to_pandas()

@@ -1,0 +1,307 @@
+"""Hard local oracles for the driver's rows-only queries (VERDICT r1 #10):
+every `queries()` entry with no SQL oracle is pinned here against a
+driver-side vendored recomputation at sf0.001 — plain Python/pandas loops
+(no Ray plumbing), exact frame equality.  A Ray-side regression (wrong
+shuffle, dropped rows, schema drift) fails these even though the driver
+records only row counts for these queries."""
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from crawler_uni_ray.functions import dedup as fdedup
+from crawler_uni_ray.functions import multimodal as fmedia
+from crawler_uni_ray.functions import text as ftext
+from crawler_uni_ray.pipelines import queries as Q
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs():
+    return pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+
+
+def _eq(got: pd.DataFrame, want: pd.DataFrame):
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True), check_dtype=False
+    )
+
+
+def test_pin_docs_token_counts(ray_session, docs):
+    got = Q.docs_token_counts(SF)
+    want = pd.DataFrame(
+        {
+            "doc_id": docs["doc_id"],
+            "n_tokens": [len(ftext.TOKEN_RE.findall(t or "")) for t in docs["text"]],
+            "n_bpe_tokens": [len(ftext.BPE_RE.findall(t or "")) for t in docs["text"]],
+        }
+    ).sort_values("doc_id")
+    _eq(got, want)
+
+
+def test_pin_docs_langid(ray_session, docs):
+    got = Q.docs_langid(SF)
+    rows = []
+    for d, t in zip(docs["doc_id"], docs["text"]):
+        hits = {lang: len(rex.findall(t or "")) for lang, rex in ftext._LANG_RES.items()}
+        best = max(hits, key=lambda l: hits[l])  # first max in dict order
+        ntok = max(len(ftext.TOKEN_RE.findall(t or "")), 1)
+        rows.append(
+            (
+                d,
+                best if hits[best] >= 1 else "und",
+                float(np.round(np.float64(hits[best]) / ntok, 6)),
+            )
+        )
+    want = pd.DataFrame(rows, columns=["doc_id", "lang_pred", "lang_score"]).sort_values(
+        "doc_id"
+    )
+    _eq(got, want)
+
+
+def test_pin_docs_quality(ray_session, docs):
+    got = Q.docs_quality(SF)
+    rows = []
+    for d, t in zip(docs["doc_id"], docs["text"]):
+        t = t or ""
+        n_chars = np.float64(len(t))
+        n_tokens = np.float64(max(len(ftext.TOKEN_RE.findall(t)), 1))
+        n_punct = np.float64(len(ftext.PUNCT_RE.findall(t)))
+        n_stop = np.float64(
+            sum(len(rex.findall(t)) for rex in ftext._LANG_RES.values())
+        )
+        mwl = n_chars / n_tokens
+        pr = n_punct / max(n_chars, 1)
+        sr = n_stop / n_tokens
+        score = (
+            np.clip(n_chars / 500.0, 0, 1) * 0.3
+            + np.clip(1.0 - np.abs(mwl - 5.0) / 5.0, 0, 1) * 0.3
+            + np.clip(sr * 5.0, 0, 1) * 0.2
+            + np.clip(1.0 - pr * 5.0, 0, 1) * 0.2
+        )
+        rows.append((d, np.round(pr, 6), np.round(sr, 6), np.round(score, 6)))
+    want = pd.DataFrame(
+        rows, columns=["doc_id", "punct_ratio", "stop_ratio", "quality"]
+    ).sort_values("doc_id")
+    _eq(got, want)
+
+
+def test_pin_docs_fingerprint(ray_session, docs):
+    got = Q.docs_fingerprint(SF)
+    want = pd.DataFrame(
+        {
+            "doc_id": docs["doc_id"],
+            "fingerprint": [
+                ftext.fingerprint_text(t) & 0x7FFFFFFFFFFFFFFF for t in docs["text"]
+            ],
+        }
+    ).sort_values("doc_id")
+    _eq(got, want)
+
+
+def test_pin_docs_simhash(ray_session, docs):
+    got = Q.docs_simhash(SF)
+    want = pd.DataFrame(
+        {
+            "doc_id": docs["doc_id"],
+            "simhash": [
+                int(fdedup.simhash_batch([t])[0].astype(np.int64)) for t in docs["text"]
+            ],
+        }
+    ).sort_values("doc_id")
+    _eq(got, want)
+
+
+def test_pin_docs_simhash_pairs(ray_session, docs):
+    """Brute-force all-pairs oracle: 4-band pigeonhole blocking is EXACT
+    for hamming ≤ 3, so the LSH pipeline must equal the O(n²) scan."""
+    got = Q.docs_simhash_pairs(SF)
+    sh = {d: int(fdedup.simhash_batch([t])[0]) for d, t in zip(docs["doc_id"], docs["text"])}
+    ids = sorted(sh)
+    rows = [
+        (a, b, bin(sh[a] ^ sh[b]).count("1"))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(sh[a] ^ sh[b]).count("1") <= 3
+    ]
+    want = pd.DataFrame(rows, columns=["id_a", "id_b", "hamming"]).sort_values(
+        ["id_a", "id_b"]
+    )
+    _eq(got, want)
+
+
+def _shingle_sets(docs):
+    return {
+        d: set(fdedup._shingle_hashes(t).tolist())
+        for d, t in zip(docs["doc_id"], docs["text"])
+    }
+
+
+def test_pin_docs_ngram_jaccard_pairs(ray_session, docs):
+    """Brute-force exact-Jaccard oracle: at threshold 0.8 with 32 2-row
+    bands the LSH miss probability is ~(1-0.64)^32 ≈ 3e-15 — on this
+    fixed dataset the pipeline must equal the O(n²) scan."""
+    got = Q.docs_ngram_jaccard_pairs(SF)
+    ss = _shingle_sets(docs)
+    ids = sorted(ss)
+    rows = []
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            sa, sb = ss[a], ss[b]
+            j = 1.0 if not sa and not sb else len(sa & sb) / max(1, len(sa | sb))
+            j = round(j, 6)
+            if j >= 0.8:
+                rows.append((a, b, j))
+    want = pd.DataFrame(rows, columns=["id_a", "id_b", "jaccard"]).sort_values(
+        ["id_a", "id_b"]
+    )
+    _eq(got, want)
+
+
+def test_pin_docs_minhash_clusters(ray_session, docs):
+    """Vendored driver recomputation of the SAME banding algorithm
+    (shared pure kernels, plain dict loop — no Ray)."""
+    got = Q.docs_minhash_clusters(SF)
+    a, b = fdedup._minhash_params(64)
+    buckets: dict = {}
+    for d, t in zip(docs["doc_id"], docs["text"]):
+        sig = fdedup.minhash_signature(fdedup._shingle_hashes(t), a, b)
+        for band in range(16):
+            chunk = sig[band * 4 : (band + 1) * 4]
+            bh = hashlib.md5(chunk.tobytes() + bytes([band])).digest()
+            buckets.setdefault(int.from_bytes(bh[:8], "little") >> 1, set()).add(int(d))
+    pairs = set()
+    for members in buckets.values():
+        ms = sorted(members)
+        if len(ms) > fdedup.MAX_BUCKET_MEMBERS:
+            pairs.update((ms[0], m) for m in ms[1:])
+        else:
+            pairs.update((x, y) for i, x in enumerate(ms) for y in ms[i + 1 :])
+    ss = _shingle_sets(docs)
+    verified = [
+        (x, y)
+        for x, y in pairs
+        if round(
+            1.0
+            if not ss[x] and not ss[y]
+            else len(ss[x] & ss[y]) / max(1, len(ss[x] | ss[y])),
+            6,
+        )
+        >= 0.5
+    ]
+    comp = fdedup.connected_components(verified)
+    want = pd.DataFrame(
+        {
+            "doc_id": sorted(docs["doc_id"]),
+            "cluster_id": [comp.get(int(d), int(d)) for d in sorted(docs["doc_id"])],
+        }
+    )
+    _eq(got, want)
+
+
+def test_pin_embeddings_dup_pairs(ray_session):
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    got = Q.embeddings_dup_pairs(SF)
+    vecs = np.stack(emb["embedding"].to_numpy())
+    unit64 = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+    planes = np.random.RandomState(11).normal(size=(64, 12))
+    codes = (unit64 @ planes > 0).astype(np.int64) @ (1 << np.arange(12, dtype=np.int64))
+    ids = emb["vec_id"].to_numpy()
+    unit32 = {int(i): unit64[k].astype(np.float32) for k, i in enumerate(ids)}
+    buckets: dict = {}
+    for k, (i, c) in enumerate(zip(ids, codes)):
+        for p in [int(c)] + [int(c) ^ (1 << bit) for bit in range(12)]:
+            buckets.setdefault(p, set()).add(int(i))
+    rows = {}
+    for members in buckets.values():
+        ms = sorted(members)
+        for i, x in enumerate(ms):
+            for y in ms[i + 1 :]:
+                cos = float(unit32[x] @ unit32[y])
+                if cos >= 0.9:
+                    rows[(x, y)] = round(cos, 6)
+    want = pd.DataFrame(
+        [(x, y, c) for (x, y), c in sorted(rows.items())],
+        columns=["id_a", "id_b", "cosine"],
+    )
+    if len(got) == 0 and len(want) == 0:
+        return
+    _eq(got, want)
+
+
+def test_pin_embeddings_ann_lsh(ray_session):
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    got = Q.embeddings_ann_lsh(SF)
+    vecs = np.stack(emb["embedding"].to_numpy()).astype(np.float32)
+    unit = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+    ids = emb["vec_id"].to_numpy()
+    q = emb[emb["vec_id"] < 8].sort_values("vec_id")
+    qmat = np.stack(q["embedding"].to_numpy()).astype(np.float64).astype(np.float32)
+    qunit = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
+    planes = np.random.RandomState(23).normal(size=(64, 10)).astype(np.float32)
+    codes = (unit @ planes > 0).astype(np.int64) @ (1 << np.arange(10, dtype=np.int64))
+    qcodes = (qunit @ planes > 0).astype(np.int64) @ (1 << np.arange(10, dtype=np.int64))
+    rows = []
+    for qi, qid in enumerate(q["vec_id"].tolist()):
+        probes = {int(qcodes[qi])}
+        probes |= {int(qcodes[qi]) ^ (1 << b) for b in range(10)}
+        probes |= {
+            int(qcodes[qi]) ^ (1 << b1) ^ (1 << b2)
+            for b1 in range(10)
+            for b2 in range(b1 + 1, 10)
+        }
+        m = np.isin(codes, list(probes))
+        sims = unit[m] @ qunit[qi]
+        order = sorted(zip(sims.tolist(), ids[m].tolist()), key=lambda t: (-t[0], t[1]))[
+            :10
+        ]
+        rows.extend(
+            (int(qid), int(nid), round(float(s), 6), rank + 1)
+            for rank, (s, nid) in enumerate(order)
+        )
+    want = pd.DataFrame(rows, columns=["query_id", "neighbor_id", "cosine", "rnk"])
+    _eq(got, want)
+
+
+def test_pin_url_canonicalize(ray_session):
+    from crawler_uni_ray.urlnorm import clean_url, host_of, is_in_scope
+
+    got = Q.url_canonicalize(SF)
+    for _, r in got.iterrows():
+        c = clean_url(r["href"], r["base"]) or ""
+        assert r["cleaned"] == c
+        assert r["host"] == host_of(c)
+        assert bool(r["in_scope"]) == is_in_scope(c, "ex.com")
+    assert len(got) == 512
+
+
+def test_pin_crawl_bfs_visited(ray_session):
+    from crawler_uni_ray.corpus import TINY, build_pages_table
+    from crawler_uni_ray.oracle import crawl_oracle
+
+    got = Q.crawl_bfs_visited(SF)
+    tbl = build_pages_table(TINY)
+    corpus = dict(zip(tbl["url"].to_pylist(), tbl["html"].to_pylist()))
+    oracle = crawl_oracle(corpus, "example.com")
+    want = pd.DataFrame(
+        sorted(oracle.visited_depth.items()), columns=["url", "depth"]
+    )
+    _eq(got, want)
+
+
+def test_pin_media_image_features(ray_session):
+    got = Q.media_image_features(SF)
+    tbl = fmedia.synthetic_media_table(96)
+    rows = []
+    for mid, kind, payload in zip(
+        tbl["media_id"].to_pylist(), tbl["kind"].to_pylist(), tbl["payload"].to_pylist()
+    ):
+        if kind != "image":
+            continue
+        f = fmedia._digest_floats(payload or b"", 32, b"img")
+        rows.append((mid, round(float(np.round(f.mean(), 6)), 6)))
+    want = pd.DataFrame(rows, columns=["media_id", "feat_mean"]).sort_values("media_id")
+    _eq(got, want)

@@ -47,3 +47,22 @@ def test_anti_join_shuffled(ray_session):
     out = anti_join_shuffled(left, right, "url", n_buckets=4).to_pandas()
     assert sorted(out["url"]) == sorted(f"u{i}" for i in range(30) if i % 3)
     assert set(out.columns) == {"url", "x"}
+
+
+def test_sampling_ops(ray_session):
+    import ray.data as rd
+
+    from crawler_uni_ray.ops import sample_hash, sample_random
+    from crawler_uni_ray.urlnorm import url_hash_batch
+
+    ds = rd.from_items([{"url": f"https://x/{i}"} for i in range(2000)])
+    # hash sample: exact, replayable membership
+    out = sample_hash(ds, "url", keep_mod=3, n_mod=10).to_pandas()
+    urls = [f"https://x/{i}" for i in range(2000)]
+    mods = url_hash_batch(urls) % 10  # array mod: stays uint64 (a scalar
+    # uint64 % int would promote to float64 and corrupt the low digits)
+    want = [u for u, m in zip(urls, mods) if m == 3]
+    assert sorted(out["url"]) == sorted(want)
+    # random sample: seeded, streams, lands near the requested fraction
+    n = sample_random(ds, 0.1, seed=7).count()
+    assert 100 < n < 320
