@@ -130,24 +130,41 @@ def ann_lsh(
                 for b2 in range(b1 + 1, n_planes)
             }
         probe_sets.append(probes)
-    wanted = set().union(*probe_sets) if probe_sets else set()
-    wref = ray.put(wanted)
+    # per-batch partial top-k (same combiner as ann_bruteforce): the
+    # driver merge sees ≤ n_batches × n_queries × k rows — bounded for
+    # ANY query-set size, never the candidate set itself
+    pref = ray.put((qmat, probe_sets))
 
-    def _prune(df: pd.DataFrame) -> pd.DataFrame:
-        w = cached_get(wref)
-        return df[df["bucket"].isin(w)]
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        qm, probes_per_q = cached_get(pref)
+        out = {"qi": [], "neighbor_id": [], "cosine": []}
+        for qi, probes in enumerate(probes_per_q):
+            sub = df[df["bucket"].isin(probes)]
+            if len(sub) == 0:
+                continue
+            mat = np.stack(sub[vec_col].to_numpy())
+            sims = mat @ qm[qi]
+            ids = sub[id_col].to_numpy()
+            local = heapq.nsmallest(
+                k, zip(sims.tolist(), ids.tolist()), key=lambda t: (-t[0], t[1])
+            )
+            for sim, nid in local:
+                out["qi"].append(qi)
+                out["neighbor_id"].append(int(nid))
+                out["cosine"].append(float(sim))
+        return pd.DataFrame(out)
 
-    cand = indexed.map_batches(_prune, batch_format="pandas").to_pandas()
+    partials = indexed.map_batches(_partial, batch_format="pandas").to_pandas()
     rows = []
-    for qi, (qid, probes) in enumerate(zip(query_ids, probe_sets)):
-        sub = cand[cand["bucket"].isin(probes)]
-        if len(sub) == 0:
+    for qi, qid in enumerate(query_ids):
+        cand = partials[partials["qi"] == qi] if len(partials) else partials
+        if len(cand) == 0:
             continue
-        mat = np.stack(sub[vec_col].to_numpy())
-        sims = mat @ qmat[qi]
-        order = sorted(
-            zip(sims.tolist(), sub[id_col].tolist()), key=lambda t: (-t[0], t[1])
-        )[:k]
-        for rank, (sim, nid) in enumerate(order):
-            rows.append((int(qid), int(nid), round(float(sim), 6), rank + 1))
+        best = heapq.nsmallest(
+            k, cand.itertuples(index=False), key=lambda r: (-r.cosine, r.neighbor_id)
+        )
+        for rank, r in enumerate(best):
+            rows.append(
+                (int(qid), int(r.neighbor_id), round(float(r.cosine), 6), rank + 1)
+            )
     return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "cosine", "rank"])
