@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_canonicalize": q.url_canonicalize,
         "crawl_bfs_visited": q.crawl_bfs_visited,
         "media_image_features": q.media_image_features,
+        "media_frame_samples": q.media_frame_samples,
     }
 
 
@@ -189,6 +190,67 @@ def oracle_sql() -> dict[str, str]:
                    END AS n_tokens
             FROM documents ORDER BY doc_id
         """,
+        "docs_token_counts": r"""
+            SELECT doc_id,
+                   CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                        ELSE LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+'))
+                   END AS n_tokens,
+                   LEN(REGEXP_EXTRACT_ALL(
+                       text, '[A-Za-z]+|[0-9]+|[^ \t\n\r\f\vA-Za-z0-9]'
+                   )) AS n_bpe_tokens
+            FROM documents ORDER BY doc_id
+        """,
+        # langid/quality: per-language stopword-hit counts via RE2
+        # regexes mirroring text.py's profiles; rounding is scaled
+        # half-up (FLOOR(x*1e6+0.5)/1e6) — bit-identical to the engine's
+        # round6 (np.round half-even vs SQL ROUND half-away differ by an
+        # ulp on boundary values and would flip the driver hash)
+        "docs_langid": r"""
+            WITH h AS (
+              SELECT doc_id,
+                LEN(REGEXP_EXTRACT_ALL(text, '(?i)\b(?:the|and|of|to|a|in|is|that|for|it)\b')) AS h_en,
+                LEN(REGEXP_EXTRACT_ALL(text, '(?i)\b(?:der|die|und|das|ist|nicht|ein|mit|für|auf)\b')) AS h_de,
+                LEN(REGEXP_EXTRACT_ALL(text, '(?i)\b(?:le|la|et|les|des|est|un|une|dans|pour)\b')) AS h_fr,
+                LEN(REGEXP_EXTRACT_ALL(text, '(?i)\b(?:el|la|de|que|y|los|es|un|una|por)\b')) AS h_es,
+                LEN(REGEXP_EXTRACT_ALL(text, '(?i)\b(?:il|la|di|che|e|un|per|non|con|del)\b')) AS h_it,
+                GREATEST(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                         ELSE LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')) END, 1) AS ntok
+              FROM documents)
+            SELECT doc_id,
+              CASE WHEN GREATEST(h_en,h_de,h_fr,h_es,h_it) >= 1 THEN
+                CASE WHEN h_en >= GREATEST(h_en,h_de,h_fr,h_es,h_it) THEN 'en'
+                     WHEN h_de >= GREATEST(h_en,h_de,h_fr,h_es,h_it) THEN 'de'
+                     WHEN h_fr >= GREATEST(h_en,h_de,h_fr,h_es,h_it) THEN 'fr'
+                     WHEN h_es >= GREATEST(h_en,h_de,h_fr,h_es,h_it) THEN 'es'
+                     ELSE 'it' END
+              ELSE 'und' END AS lang_pred,
+              FLOOR(CAST(GREATEST(h_en,h_de,h_fr,h_es,h_it) AS DOUBLE)/ntok*1000000 + 0.5)/1000000 AS lang_score
+            FROM h ORDER BY doc_id
+        """,
+        "docs_quality": r"""
+            WITH h AS (
+              SELECT doc_id,
+                CAST(LENGTH(text) AS DOUBLE) AS n_chars,
+                CAST(GREATEST(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                     ELSE LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')) END, 1) AS DOUBLE) AS n_tokens,
+                CAST(LEN(REGEXP_EXTRACT_ALL(text, '[^A-Za-z0-9_ \t\n\r\f\v]')) AS DOUBLE) AS n_punct,
+                CAST(LEN(REGEXP_EXTRACT_ALL(text, '(?i)\b(?:the|and|of|to|a|in|is|that|for|it)\b'))
+                   + LEN(REGEXP_EXTRACT_ALL(text, '(?i)\b(?:der|die|und|das|ist|nicht|ein|mit|für|auf)\b'))
+                   + LEN(REGEXP_EXTRACT_ALL(text, '(?i)\b(?:le|la|et|les|des|est|un|une|dans|pour)\b'))
+                   + LEN(REGEXP_EXTRACT_ALL(text, '(?i)\b(?:el|la|de|que|y|los|es|un|una|por)\b'))
+                   + LEN(REGEXP_EXTRACT_ALL(text, '(?i)\b(?:il|la|di|che|e|un|per|non|con|del)\b')) AS DOUBLE) AS n_stop
+              FROM documents)
+            SELECT doc_id,
+              FLOOR(n_punct / GREATEST(n_chars, 1) * 1000000 + 0.5)/1000000 AS punct_ratio,
+              FLOOR(n_stop / n_tokens * 1000000 + 0.5)/1000000 AS stop_ratio,
+              FLOOR((
+                LEAST(GREATEST(n_chars/500.0, 0), 1)*0.3
+                + LEAST(GREATEST(1.0 - ABS(n_chars/n_tokens - 5.0)/5.0, 0), 1)*0.3
+                + LEAST(GREATEST((n_stop/n_tokens)*5.0, 0), 1)*0.2
+                + LEAST(GREATEST(1.0 - (n_punct/GREATEST(n_chars, 1))*5.0, 0), 1)*0.2
+              ) * 1000000 + 0.5)/1000000 AS quality
+            FROM h ORDER BY doc_id
+        """,
         "embeddings_ann": """
             SELECT query_id, neighbor_id, rnk FROM (
                 SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id,
@@ -202,9 +264,8 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rnk <= 10
             ORDER BY query_id, rnk
         """,
-        # docs_dedup_exact note: all texts are distinct in the generated
-        # data, so ANY_VALUE == the single row's value; kept general.
-        # Remaining queries (langid/quality/fingerprint/minhash/simhash/
-        # LSH ANN/crawl/media) are deliberately non-SQL-expressible →
-        # rows-only driver check.
+        # Remaining queries (fingerprint/minhash/simhash/LSH ANN/
+        # embedding-dup/crawl/media) are genuinely non-SQL-expressible
+        # (iterative/probabilistic algorithms) → rows-only driver check,
+        # each pinned to a hard local oracle in tests/test_local_oracles.py.
     }

@@ -33,6 +33,14 @@ _LANG_RES = {
 }
 
 
+def round6(x):
+    """Half-up rounding to 6 decimals via scaled floor — bit-identical
+    between numpy and the DuckDB oracle (`FLOOR(x*1e6 + 0.5)/1e6`),
+    unlike np.round (binary half-even) vs SQL ROUND (decimal half-away),
+    which disagree by 1 ulp on boundary values."""
+    return np.floor(np.asarray(x, dtype=np.float64) * 1e6 + 0.5) / 1e6
+
+
 def token_count_batch(texts: pd.Series) -> np.ndarray:
     """Whitespace token count, fully vectorized (pandas str.count)."""
     return texts.str.count(TOKEN_RE).fillna(0).to_numpy(dtype=np.int64)
@@ -70,7 +78,7 @@ def add_lang_id(ds: Dataset, text_col: str = "text", min_hits: int = 1) -> Datas
         best = scores.idxmax(axis=1)  # ties → first column (fixed dict order)
         hits = scores.max(axis=1)
         df["lang_pred"] = np.where(hits.to_numpy() >= min_hits, best, "und")
-        df["lang_score"] = (hits.to_numpy() / ntok).round(6)
+        df["lang_score"] = round6(hits.to_numpy() / ntok)
         return df
 
     return ds.map_batches(_f, batch_format="pandas")
@@ -97,9 +105,9 @@ def add_quality_score(ds: Dataset, text_col: str = "text") -> Dataset:
             + np.clip(stop_ratio * 5.0, 0, 1) * 0.2
             + np.clip(1.0 - punct_ratio * 5.0, 0, 1) * 0.2
         )
-        df["punct_ratio"] = punct_ratio.round(6)
-        df["stop_ratio"] = stop_ratio.round(6)
-        df["quality"] = score.round(6)
+        df["punct_ratio"] = round6(punct_ratio)
+        df["stop_ratio"] = round6(stop_ratio)
+        df["quality"] = round6(score)
         return df
 
     return ds.map_batches(_f, batch_format="pandas")

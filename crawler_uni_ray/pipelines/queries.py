@@ -484,6 +484,22 @@ def crawl_bfs_visited(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def media_frame_samples(sf_dir: str) -> pd.DataFrame:
+    """Multimodal frame-sampling demo: actor-pool frame extraction over
+    audio/video rows (decode stubbed; plumbing real — one row per sampled
+    frame with a scalar feature digest)."""
+    ds = ray.data.from_arrow(fmedia.synthetic_media_table(96))
+    av = ds.map_batches(
+        lambda t: t.filter(pc.not_equal(t["kind"], "image")), batch_format="pyarrow"
+    )
+    frames = fmedia.sample_frames(av, concurrency=2).to_pandas()
+    frames["frame_mean"] = [
+        round(float(np.mean(f)), 6) for f in frames["frame_features"]
+    ]
+    out = frames[["media_id", "frame_idx", "frame_mean"]]
+    return out.sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
+
+
 def media_image_features(sf_dir: str) -> pd.DataFrame:
     """Multimodal plumbing demo: actor-pool feature extraction over the
     deterministic fake media corpus (decode stubbed — see multimodal.py)."""

@@ -53,7 +53,7 @@ def test_pin_docs_langid(ray_session, docs):
             (
                 d,
                 best if hits[best] >= 1 else "und",
-                float(np.round(np.float64(hits[best]) / ntok, 6)),
+                float(ftext.round6(np.float64(hits[best]) / ntok)),
             )
         )
     want = pd.DataFrame(rows, columns=["doc_id", "lang_pred", "lang_score"]).sort_values(
@@ -82,7 +82,9 @@ def test_pin_docs_quality(ray_session, docs):
             + np.clip(sr * 5.0, 0, 1) * 0.2
             + np.clip(1.0 - pr * 5.0, 0, 1) * 0.2
         )
-        rows.append((d, np.round(pr, 6), np.round(sr, 6), np.round(score, 6)))
+        rows.append(
+            (d, ftext.round6(pr).item(), ftext.round6(sr).item(), ftext.round6(score).item())
+        )
     want = pd.DataFrame(
         rows, columns=["doc_id", "punct_ratio", "stop_ratio", "quality"]
     ).sort_values("doc_id")
@@ -288,6 +290,24 @@ def test_pin_crawl_bfs_visited(ray_session):
     oracle = crawl_oracle(corpus, "example.com")
     want = pd.DataFrame(
         sorted(oracle.visited_depth.items()), columns=["url", "depth"]
+    )
+    _eq(got, want)
+
+
+def test_pin_media_frame_samples(ray_session):
+    got = Q.media_frame_samples(SF)
+    tbl = fmedia.synthetic_media_table(96)
+    rows = []
+    for mid, kind, payload in zip(
+        tbl["media_id"].to_pylist(), tbl["kind"].to_pylist(), tbl["payload"].to_pylist()
+    ):
+        if kind == "image":
+            continue
+        for fi in range(4):
+            f = fmedia._digest_floats(payload or b"", 16, b"frm%d" % fi)
+            rows.append((mid, fi, round(float(np.mean(np.asarray(f.tolist(), np.float32))), 6)))
+    want = pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame_mean"]).sort_values(
+        ["media_id", "frame_idx"]
     )
     _eq(got, want)
 
