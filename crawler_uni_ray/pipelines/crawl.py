@@ -88,6 +88,11 @@ class CrawlConfig:
     fetch_mode: str = "auto"  # auto | broadcast | join | partitioned | http
     http_timeout: float = 10.0  # http mode: per-request timeout (crawler.py:30)
     http_concurrency: int | tuple = (1, 4)  # http mode: fetch actor pool size
+    # partitioned fetch: levels above this re-bucket the frontier by the
+    # corpus url-hash (ONE pruned read per partition — the scale plan);
+    # smaller levels skip that all-to-all and look up per batch (a few
+    # extra pruned reads beat a shuffle's fixed cost)
+    fetch_align_threshold: int = 50_000
     num_corpus_shards: int = 8  # partitioning of corpus_path
     n_buckets: int = 32  # scheduling/dedup hash buckets
     n_salts: int = 8
@@ -264,7 +269,7 @@ class CrawlEngine:
         return out
 
     # ----------------------------------------------------------- fetch dispatch
-    def _fetch(self, scheduled: Dataset) -> Dataset:
+    def _fetch(self, scheduled: Dataset, n_rows: int = -1) -> Dataset:
         if self._fetch_mode == "broadcast":
             return fetch_broadcast(scheduled, self._corpus_ref)
         if self._fetch_mode == "http":
@@ -279,15 +284,16 @@ class CrawlEngine:
                     self.cfg.corpus_path, columns=["url", "html"]
                 )
             return fetch_join(scheduled, self._pages_ds, num_partitions=self.cfg.n_buckets)
+        align = n_rows < 0 or n_rows > self.cfg.fetch_align_threshold
         return fetch_partitioned(
-            scheduled, self.cfg.corpus_path, self.cfg.num_corpus_shards
+            scheduled, self.cfg.corpus_path, self.cfg.num_corpus_shards, align=align
         )
 
-    def _fetch_extract_write(self, scheduled: Dataset, k: int) -> int:
+    def _fetch_extract_write(self, scheduled: Dataset, k: int, n_rows: int = -1) -> int:
         """The data plane: fetch + extract + results write — always a
         distributed Dataset pipeline (html payloads never hit the driver)."""
         marked = seen_add(scheduled, self.seen)
-        fetched = self._fetch(marked)
+        fetched = self._fetch(marked, n_rows)
         results = extract_stage(fetched, depth=k, batch_size=self.cfg.extract_batch_size)
         return _write_atomic(results, self._lvl(k, "results"))
 
@@ -341,7 +347,7 @@ class CrawlEngine:
             )
         else:
             n_results = self._fetch_extract_write(
-                ray.data.from_arrow(scheduled_tbl), k
+                ray.data.from_arrow(scheduled_tbl), k, scheduled_tbl.num_rows
             )
 
         # next frontier = in-scope outlinks ∪ deferred, combined per url by
@@ -447,9 +453,11 @@ class CrawlEngine:
                     self.RESULTS_SCHEMA.empty_table(), self._lvl(k, "results")
                 )
             else:
-                n_results = self._fetch_extract_write(scheduled, k)
+                n_results = self._fetch_extract_write(scheduled, k, n_frontier)
         else:
-            n_results = self._fetch_extract_write(scheduled, k)
+            # n_frontier is an upper bound on the scheduled rows — the
+            # right scale signal for the align-vs-per-batch fetch choice
+            n_results = self._fetch_extract_write(scheduled, k, n_frontier)
 
         _t_main = _time.time() - _t0
         if deferred is None:  # fused path: deferred now durable on disk
