@@ -348,6 +348,105 @@ def connected_components(
     return {x: find(x) for x in parent}
 
 
+def connected_components_distributed(
+    pairs: Dataset, max_iters: int = 25, n_buckets: int = 32
+) -> Dataset:
+    """Distributed connected components over an (id_a, id_b) pair Dataset:
+    iterative min-label propagation — each round every node sends its
+    current label to its neighbors and keeps the minimum seen.  Converges
+    in O(graph diameter) rounds (near-dup graphs from LSH verify are
+    stars/cliques: diameter ≲ 3); each round shuffles one 16-byte
+    (node, label) row per edge endpoint, NEVER document payloads.
+    Termination: labels are monotonically nonincreasing, so an unchanged
+    label sum is a fixpoint.  Returns (node, cluster_id = min node id in
+    the component) — identical to driver-side `connected_components`,
+    which remains the fast path for pair sets that fit the driver."""
+    from ..ops import add_hash_bucket
+    from ..util import from_pandas_clean
+
+    def _sym(t: pa.Table) -> pa.Table:
+        a = t["id_a"].cast(pa.int64()).combine_chunks()
+        b = t["id_b"].cast(pa.int64()).combine_chunks()
+        return pa.Table.from_arrays(
+            [pa.concat_arrays([a, b]), pa.concat_arrays([b, a])],
+            names=["node", "nbr"],
+        )
+
+    # coalesce aggressively: sort-shuffle output block count tracks input
+    # block count, and the per-round union would otherwise DOUBLE the
+    # label blocks every iteration (exponential tiny-block explosion)
+    edges = (
+        pairs.map_batches(_sym, batch_format="pyarrow")
+        .repartition(n_buckets)
+        .materialize()
+    )
+
+    def _init(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [t["node"].combine_chunks(), t["node"].combine_chunks()],
+            names=["node", "label"],
+        )
+
+    from ..ops import dedup_exact
+
+    labels = dedup_exact(
+        edges.map_batches(_init, batch_format="pyarrow"), "node", n_buckets
+    ).materialize()
+    prev_sum = None
+    for _ in range(max_iters):
+        # round = 2 bucketed shuffles: (1) labels meet edges on node →
+        # emit (nbr, label) messages; (2) messages ∪ labels min-combine
+        def _tag(is_edge: int):
+            def f(t: pa.Table) -> pa.Table:
+                # edges are (node, nbr), labels are (node, label) — both
+                # become (node, val, __e) so the union schemas line up
+                t = t.replace_schema_metadata(None).rename_columns(["node", "val"])
+                return t.append_column(
+                    "__e", pa.array(np.full(len(t), is_edge, dtype=np.int8))
+                )
+
+            return f
+
+        both = edges.map_batches(_tag(1), batch_format="pyarrow").union(
+            labels.map_batches(_tag(0), batch_format="pyarrow")
+        )
+
+        def _send(g: pd.DataFrame) -> pa.Table:
+            lab = g[g["__e"] == 0]
+            edg = g[g["__e"] == 1]
+            m = edg.merge(lab, on="node")  # val_x = nbr, val_y = label
+            out = pd.DataFrame({"node": m["val_x"], "label": m["val_y"]})
+            return from_pandas_clean(out)
+
+        msgs = (
+            add_hash_bucket(both, "node", n_buckets)
+            .groupby("__bucket")
+            .map_groups(lambda g: _send(g.drop(columns=["__bucket"])), batch_format="pandas")
+        )
+
+        def _combine(g: pd.DataFrame) -> pa.Table:
+            out = g.groupby("node", as_index=False).agg(label=("label", "min"))
+            return from_pandas_clean(out)
+
+        new_labels = (
+            add_hash_bucket(msgs.union(labels), "node", n_buckets)
+            .groupby("__bucket")
+            .map_groups(
+                lambda g: _combine(g.drop(columns=["__bucket"])), batch_format="pandas"
+            )
+            .repartition(n_buckets)  # keep round-over-round block count flat
+            .materialize()
+        )
+        s = new_labels.sum("label")
+        labels = new_labels
+        if s == prev_sum:
+            break
+        prev_sum = s
+    return labels.map_batches(
+        lambda t: t.rename_columns(["node", "cluster_id"]), batch_format="pyarrow"
+    )
+
+
 # ------------------------------------------------------------------ simhash
 
 

@@ -361,13 +361,22 @@ def docs_minhash_clusters(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
     transit the driver."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     pairs = fdedup.minhash_lsh_candidates(ds, n_hashes=64, bands=16)
-    verified = fdedup.verify_pairs_jaccard_indexed(
+    verified_ds = fdedup.verify_pairs_jaccard_indexed(
         pairs, _t(sf_dir, "documents"), threshold
-    ).to_pandas()
-    verified = _ensure_cols(verified, {"id_a": "int64", "id_b": "int64", "jaccard": "float64"})
-    comp = fdedup.connected_components(
-        list(zip(verified["id_a"].astype(int), verified["id_b"].astype(int)))
-    )
+    ).materialize()
+    if verified_ds.count() > 2_000_000:
+        # pair set too big for driver union-find → iterative distributed
+        # CC (min-label propagation; pairs never leave the cluster)
+        cc = fdedup.connected_components_distributed(verified_ds).to_pandas()
+        comp = dict(zip(cc["node"].astype(int), cc["cluster_id"].astype(int)))
+    else:
+        verified = verified_ds.to_pandas()
+        verified = _ensure_cols(
+            verified, {"id_a": "int64", "id_b": "int64", "jaccard": "float64"}
+        )
+        comp = fdedup.connected_components(
+            list(zip(verified["id_a"].astype(int), verified["id_b"].astype(int)))
+        )
     out = pd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
     out["cluster_id"] = [comp.get(int(d), int(d)) for d in out["doc_id"]]
     return out.sort_values("doc_id").reset_index(drop=True)

@@ -91,6 +91,33 @@ def test_minhash_lsh_finds_near_dupes(ray_session):
     assert all(comp.get(i, i) != 0 for i in range(20, 40))
 
 
+def test_connected_components_distributed_equals_unionfind(ray_session):
+    """Distributed min-label CC ≡ driver union-find on a graph with a
+    long chain (multi-round propagation), a star, a clique and isolated
+    pairs."""
+    import ray.data as rd
+
+    rng = np.random.RandomState(9)
+    # each min-label round is a full Ray execution (~3 s at 4 test CPUs),
+    # so keep diameters near-dup-realistic: chain of 8, star, clique
+    edges = [(i, i + 1) for i in range(0, 8)]
+    edges += [(100, 100 + i) for i in range(1, 8)]  # star
+    edges += [(200 + a, 200 + b) for a in range(5) for b in range(a + 1, 5)]  # clique
+    edges += [(int(a), int(b)) for a, b in rng.randint(300, 340, size=(25, 2)) if a != b]
+    want = fdedup.connected_components(edges)
+    ds = rd.from_items([{"id_a": a, "id_b": b} for a, b in edges])
+    got = (
+        fdedup.connected_components_distributed(ds, max_iters=15, n_buckets=8)
+        .to_pandas()
+        .set_index("node")["cluster_id"]
+        .to_dict()
+    )
+    nodes = {n for e in edges for n in e}
+    assert set(got) == nodes
+    for n in nodes:
+        assert got[n] == want.get(n, n), n
+
+
 def test_lsh_bucket_cap_star_links(ray_session):
     """10k-identical-doc degenerate corpus: every doc lands in the same
     LSH bucket; the cap must star-link (O(n) pairs) instead of emitting
