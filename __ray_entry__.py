@@ -61,6 +61,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_by_type": q.events_by_type,
         "events_windowed": q.events_windowed,
         "events_sessionized": q.events_sessionized,
+        "events_sliding": q.events_sliding,
+        "events_with_last_order": q.events_with_last_order,
         "docs_distinct_langs": q.docs_distinct_langs,
         "parts_by_brand": q.parts_by_brand,
         "suppliers_per_nation": q.suppliers_per_nation,
@@ -82,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "embeddings_ann": q.embeddings_ann,
         "embeddings_ann_lsh": q.embeddings_ann_lsh,
+        "embeddings_ann_ivf": q.embeddings_ann_ivf,
         # crawl / url / media
         "url_canonicalize": q.url_canonicalize,
         "crawl_bfs_visited": q.crawl_bfs_visited,
@@ -155,6 +158,29 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_events, MIN(ts) AS session_start
             FROM s GROUP BY user_id, session_id
             ORDER BY user_id, session_id
+        """,
+        "events_sliding": """
+            WITH w AS (
+                SELECT user_id, value,
+                       (FLOOR(EPOCH(ts) / 1800) - off) * 1800 AS window_start
+                FROM events CROSS JOIN (SELECT 0 AS off UNION ALL SELECT 1) offs
+            )
+            SELECT user_id, CAST(window_start AS BIGINT) AS window_start,
+                   COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+            FROM w
+            GROUP BY user_id, window_start
+            ORDER BY user_id, window_start
+        """,
+        "events_with_last_order": """
+            WITH o1 AS (
+                SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS last_orderkey
+                FROM orders GROUP BY o_custkey, o_orderdate
+            )
+            SELECT e.event_id, e.user_id, o.last_orderkey
+            FROM events e
+            ASOF JOIN o1 o
+              ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+            ORDER BY e.event_id
         """,
         "docs_distinct_langs": """
             SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang ORDER BY lang

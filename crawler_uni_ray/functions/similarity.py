@@ -73,6 +73,131 @@ def ann_bruteforce(
     return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "cosine", "rank"])
 
 
+def kmeans_centroids(
+    ds: Dataset,
+    n_centroids: int = 16,
+    n_iters: int = 10,
+    seed: int = 7,
+    sample_mod: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """Spherical k-means over a bounded deterministic sample (rows with
+    ``id % sample_mod == 0``) — the IVF coarse quantizer.  The sample is
+    collected once to the driver (size the mod so it stays ≤ ~100k rows at
+    any corpus scale); Lloyd iterations run driver-side on that sample.
+    Deterministic: seeded init, stable assignment tie-break (argmax takes
+    the lowest index)."""
+    sampled = ds.select_columns([id_col, vec_col])
+    if sample_mod > 1:
+
+        def _keep(df: pd.DataFrame) -> pd.DataFrame:
+            return df[df[id_col].to_numpy() % sample_mod == 0]
+
+        sampled = sampled.map_batches(_keep, batch_format="pandas")
+    rows = sampled.to_pandas()
+    mat = _normalize(_as_matrix(rows.sort_values(id_col)[vec_col].to_numpy()))
+    rng = np.random.RandomState(seed)
+    cent = mat[rng.choice(len(mat), size=min(n_centroids, len(mat)), replace=False)]
+    for _ in range(n_iters):
+        assign = np.argmax(mat @ cent.T, axis=1)
+        for c in range(len(cent)):
+            members = mat[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+        cent = _normalize(cent)
+    return cent
+
+
+def build_ivf_index(
+    ds: Dataset,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> Dataset:
+    """IVF list assignment: one pass tagging each vector with its nearest
+    centroid (``ivf_list``).  Centroids broadcast once; the output is the
+    reusable index (at scale you'd ``write_parquet`` it partitioned by
+    list id so probes prune row groups, exactly like the corpus fetch)."""
+    cref = ray.put(np.asarray(centroids, dtype=np.float32))
+
+    def _assign(df: pd.DataFrame) -> pd.DataFrame:
+        c = cached_get(cref)
+        mat = _normalize(_as_matrix(df[vec_col].to_numpy()))
+        assign = np.argmax(mat @ c.T, axis=1).astype(np.int64)
+        return pd.DataFrame(
+            {id_col: df[id_col].to_numpy(), "ivf_list": assign, vec_col: list(mat)}
+        )
+
+    return ds.map_batches(_assign, batch_format="pandas")
+
+
+def ann_ivf(
+    ds: Dataset,
+    queries: np.ndarray,
+    query_ids: list[int],
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    n_iters: int = 10,
+    seed: int = 7,
+    sample_mod: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> pd.DataFrame:
+    """IVF approximate top-k: k-means coarse quantizer → per-vector list
+    assignment → each query scans only its ``nprobe`` nearest lists.
+    ``nprobe == n_centroids`` degrades to exact brute force (the
+    equivalence test hook).  Same per-batch top-k combiner as
+    ``ann_bruteforce``: the driver merge is bounded by
+    n_batches × n_queries × k rows regardless of corpus size."""
+    cent = kmeans_centroids(
+        ds, n_centroids=n_centroids, n_iters=n_iters, seed=seed,
+        sample_mod=sample_mod, vec_col=vec_col, id_col=id_col,
+    )
+    indexed = build_ivf_index(ds, cent, vec_col=vec_col, id_col=id_col)
+    qmat = _normalize(np.asarray(queries, dtype=np.float32))
+    nprobe = min(nprobe, len(cent))
+    # per-query probe lists: the nprobe nearest centroids
+    order = np.argsort(-(qmat @ cent.T), axis=1, kind="stable")[:, :nprobe]
+    pref = ray.put((qmat, order.astype(np.int64)))
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        qm, probes = cached_get(pref)
+        out = {"qi": [], "neighbor_id": [], "cosine": []}
+        lists = df["ivf_list"].to_numpy()
+        for qi in range(len(qm)):
+            sub = df[np.isin(lists, probes[qi])]
+            if len(sub) == 0:
+                continue
+            mat = np.stack(sub[vec_col].to_numpy())
+            sims = mat @ qm[qi]
+            ids = sub[id_col].to_numpy()
+            local = heapq.nsmallest(
+                k, zip(sims.tolist(), ids.tolist()), key=lambda t: (-t[0], t[1])
+            )
+            for sim, nid in local:
+                out["qi"].append(qi)
+                out["neighbor_id"].append(int(nid))
+                out["cosine"].append(float(sim))
+        return pd.DataFrame(out)
+
+    partials = indexed.map_batches(_partial, batch_format="pandas").to_pandas()
+    rows = []
+    for qi, qid in enumerate(query_ids):
+        cand = partials[partials["qi"] == qi] if len(partials) else partials
+        if len(cand) == 0:
+            continue
+        best = heapq.nsmallest(
+            k, cand.itertuples(index=False), key=lambda r: (-r.cosine, r.neighbor_id)
+        )
+        for rank, r in enumerate(best):
+            rows.append(
+                (int(qid), int(r.neighbor_id), round(float(r.cosine), 6), rank + 1)
+            )
+    return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "cosine", "rank"])
+
+
 def build_lsh_index(
     ds: Dataset,
     n_planes: int = 10,

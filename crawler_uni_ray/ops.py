@@ -86,6 +86,114 @@ def sample_hash(ds: Dataset, key: str, keep_mod: int, n_mod: int = 10) -> Datase
     return ds.map_batches(_f, batch_format="pyarrow")
 
 
+def asof_join(
+    left: Dataset,
+    right: Dataset,
+    left_by: str,
+    left_on: str,
+    right_by: str,
+    right_on: str,
+    payload_cols: list[str],
+    n_buckets: int = 64,
+    direction: str = "backward",
+    inner: bool = True,
+) -> Dataset:
+    """Distributed as-of join: for each left row, attach ``payload_cols``
+    from the right row with the same ``by`` key and the greatest ``on``
+    value ≤ the left's (``direction="backward"``; ``"forward"`` = least ≥).
+    Ray Data has no native as-of join — this is the explicit partitioned
+    form: tag provenance, union with aligned schemas, ONE hash shuffle on
+    the ``by`` key (whole keys per bucket), then one vectorized
+    ``pandas.merge_asof`` per bucket.  Right-side ties on (by, on) are
+    broken deterministically by keeping the row with the maximal first
+    payload column.  ``inner=True`` drops left rows with no match (the
+    SQL-ASOF-JOIN-comparable form); ``False`` keeps them with nulls."""
+    def _arrow_schema(ds: Dataset) -> pa.Schema | None:
+        s = getattr(ds.schema(), "base_schema", None)
+        return s if isinstance(s, pa.Schema) else None
+
+    lschema = left.schema()
+    lbase = _arrow_schema(left)
+    lcols = list(lschema.names)
+    clash = set(payload_cols) & set(lcols)
+    if clash:
+        raise ValueError(f"payload columns collide with left columns: {clash}")
+    rbase = _arrow_schema(right)
+    ptypes = {
+        p: (rbase.field(p).type if rbase is not None else pa.float64())
+        for p in payload_cols
+    }
+
+    def _tag_left(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        for p in payload_cols:
+            t = t.append_column(p, pa.nulls(len(t), type=ptypes[p]))
+        return t.append_column("__is_left", pa.array(np.ones(len(t), dtype=np.int8)))
+
+    def _tag_right(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        out = {left_by: t[right_by], left_on: t[right_on]}
+        for p in payload_cols:
+            out[p] = t[p]
+        r = pa.table(out)
+        for name in lcols:
+            if name not in r.column_names:
+                typ = lbase.field(name).type if lbase is not None else pa.null()
+                r = r.append_column(name, pa.nulls(len(t), type=typ))
+        r = r.select([*lcols, *payload_cols])
+        return r.append_column("__is_left", pa.array(np.zeros(len(t), dtype=np.int8)))
+
+    lt = left.map_batches(_tag_left, batch_format="pyarrow")
+    rt = right.select_columns([right_by, right_on, *payload_cols]).map_batches(
+        _tag_right, batch_format="pyarrow"
+    )
+    both = add_hash_bucket(lt.union(rt), left_by, n_buckets)
+
+    def _asof(g: pa.Table) -> pa.Table:
+        # split sides while still Arrow: right rows carry NULLs in the
+        # left's columns, and a single pandas frame would promote those
+        # int64 columns to float64 for the LEFT rows too (silent
+        # int→float drift in the output); per-side conversion keeps the
+        # original dtypes intact
+        is_left = pa.compute.equal(g["__is_left"], 1)
+        lf = (
+            g.filter(is_left)
+            .drop_columns(["__bucket", "__is_left", *payload_cols])
+            .to_pandas()
+        )
+        rf = (
+            g.filter(pa.compute.invert(is_left))
+            .select([left_by, left_on, *payload_cols])
+            .to_pandas()
+        )
+        # deterministic tie-break within (by, on): keep max first payload
+        rf = rf.sort_values(
+            [left_by, left_on, payload_cols[0]], kind="mergesort"
+        ).drop_duplicates(subset=[left_by, left_on], keep="last")
+        if len(lf):
+            m = pd.merge_asof(
+                lf.sort_values(left_on, kind="mergesort"),
+                rf.sort_values(left_on, kind="mergesort"),
+                on=left_on,
+                by=left_by,
+                direction=direction,
+            )
+            if inner:
+                m = m.dropna(subset=[payload_cols[0]])
+        else:
+            m = lf.copy()
+            for p in payload_cols:
+                m[p] = pd.Series([], dtype="float64")
+        # unmatched rows make pandas promote payload ints to float64 —
+        # force float64 in EVERY bucket so block schemas unify (callers
+        # cast back after the inner filter guarantees no nulls)
+        for p in payload_cols:
+            m[p] = m[p].astype("float64")
+        return from_pandas_clean(m)
+
+    return both.groupby("__bucket").map_groups(_asof, batch_format="pyarrow")
+
+
 def anti_join_broadcast(ds: Dataset, key: str, keys_ref) -> Dataset:
     """``ds`` rows whose ``key`` is NOT in the broadcast key set.
     ``keys_ref`` is a ``ray.put`` ObjectRef of a Python set (or a plain

@@ -232,6 +232,66 @@ def events_sessionized(
     return out.sort_values(["user_id", "session_id"]).reset_index(drop=True)
 
 
+def events_sliding(
+    sf_dir: str, size_sec: int = 3600, hop_sec: int = 1800
+) -> pd.DataFrame:
+    """Sliding (hopping) event-time window per user: size 1 h, hop 30 min —
+    every event lands in size/hop = 2 overlapping windows.  Physical plan:
+    the per-batch map REPLICATES each row once per covering window (a
+    vectorized concat, no shuffle growth beyond the ×2 row fan-out), then
+    one grouped aggregate.  The streaming-window triple (tumbling /
+    sliding / session) is complete with this one."""
+    assert size_sec % hop_sec == 0
+    n_win = size_sec // hop_sec
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def _explode(t: pa.Table) -> pa.Table:
+        sec = pc.divide(t["ts"].cast(pa.int64()), 1_000_000)
+        base = pc.multiply(pc.divide(sec, hop_sec), hop_sec)  # int floor
+        parts = []
+        for off in range(n_win):
+            w = pc.subtract(base, pa.scalar(off * hop_sec, pa.int64()))
+            parts.append(t.append_column("window_start", w))
+        return pa.concat_tables(parts)
+
+    out = (
+        ds.map_batches(_explode, batch_format="pyarrow")
+        .groupby(["user_id", "window_start"])
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="total_value"))
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype("int64")
+    out["total_value"] = out["total_value"].round(2)
+    return out.sort_values(["user_id", "window_start"]).reset_index(drop=True)
+
+
+def events_with_last_order(sf_dir: str) -> pd.DataFrame:
+    """As-of join: each event picks up the most recent order (by date) the
+    same user placed at or before the event time — `ops.asof_join`, the
+    partitioned merge_asof form (SQL: ASOF JOIN).  Inner semantics (events
+    with no prior order drop) so the payload stays non-null int64."""
+    from ..ops import asof_join
+
+    events = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_orderkey"])
+    out = asof_join(
+        events,
+        orders,
+        left_by="user_id",
+        left_on="ts",
+        right_by="o_custkey",
+        right_on="o_orderdate",
+        payload_cols=["o_orderkey"],
+        n_buckets=64,
+    ).to_pandas()
+    out = _ensure_cols(
+        out, {"event_id": "int64", "user_id": "int64", "ts": "datetime64[us]", "o_orderkey": "float64"}
+    )
+    out["last_orderkey"] = out["o_orderkey"].astype("int64")
+    out = out[["event_id", "user_id", "last_orderkey"]]
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 def docs_distinct_langs(sf_dir: str) -> pd.DataFrame:
     """Distinct values via groupby-count (`unique` without driver collect)."""
     ds = _read(sf_dir, "documents", columns=["lang"])
@@ -425,6 +485,17 @@ def embeddings_ann_lsh(sf_dir: str, k: int = 10) -> pd.DataFrame:
     qmat, qids = _query_vectors(sf_dir)
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     out = fsim.ann_lsh(ds, qmat, qids, k=k)
+    return out.rename(columns={"rank": "rnk"})
+
+
+def embeddings_ann_ivf(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """IVF ANN (k-means coarse quantizer, nprobe=8 of 16 lists) — the
+    second approximate scale path next to LSH.  Approximate by
+    construction → rows-only driver check + pinned local oracle; the
+    nprobe=n_centroids ≡ brute-force equivalence is unit-tested."""
+    qmat, qids = _query_vectors(sf_dir)
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = fsim.ann_ivf(ds, qmat, qids, k=k, n_centroids=16, nprobe=8)
     return out.rename(columns={"rank": "rnk"})
 
 

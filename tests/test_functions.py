@@ -246,3 +246,32 @@ def test_multimodal_plumbing(ray_session):
     assert len(frames) == 20 * 4  # n_frames per non-image row
     with pytest.raises(NotImplementedError):
         fm.ImageFeatures(decoder="real")
+
+
+def test_ann_ivf_exhaustive_equals_bruteforce(ray_session):
+    """nprobe == n_centroids scans every IVF list → must be EXACTLY the
+    brute-force result; a smaller nprobe stays high-recall on sf0.001."""
+    import ray.data as rd
+
+    from crawler_uni_ray.functions import similarity as fsim
+
+    emb = pd.read_parquet(
+        "/root/testdata/sf0.001/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    q = emb[emb["vec_id"] < 8].sort_values("vec_id")
+    qmat = np.stack(q["embedding"].to_numpy()).astype(np.float64)
+    qids = q["vec_id"].tolist()
+    ds = rd.from_pandas(emb)
+    exact = fsim.ann_bruteforce(ds, qmat, qids, k=10)
+    full = fsim.ann_ivf(ds, qmat, qids, k=10, n_centroids=8, nprobe=8)
+    pd.testing.assert_frame_equal(
+        full.sort_values(["query_id", "rank"]).reset_index(drop=True),
+        exact.sort_values(["query_id", "rank"]).reset_index(drop=True),
+        check_dtype=False,
+    )
+    approx = fsim.ann_ivf(ds, qmat, qids, k=10, n_centroids=8, nprobe=4)
+    hits = pd.merge(
+        approx[["query_id", "neighbor_id"]], exact[["query_id", "neighbor_id"]]
+    )
+    recall = len(hits) / len(exact)
+    assert recall >= 0.6, recall

@@ -325,3 +325,41 @@ def test_pin_media_image_features(ray_session):
         rows.append((mid, round(float(np.round(f.mean(), 6)), 6)))
     want = pd.DataFrame(rows, columns=["media_id", "feat_mean"]).sort_values("media_id")
     _eq(got, want)
+
+
+def test_pin_embeddings_ann_ivf(ray_session):
+    """Vendored driver-side IVF recomputation (same seeded k-means, same
+    probe order, exact cosine over the probed lists) ≡ the Ray pipeline."""
+    got = Q.embeddings_ann_ivf(SF)
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    emb = emb.sort_values("vec_id")
+    ids = emb["vec_id"].to_numpy()
+
+    def unit(m):
+        return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+    mat = unit(np.stack(emb["embedding"].to_numpy()).astype(np.float32))
+    rng = np.random.RandomState(7)
+    cent = mat[rng.choice(len(mat), size=16, replace=False)]
+    for _ in range(10):
+        assign = np.argmax(mat @ cent.T, axis=1)
+        for c in range(len(cent)):
+            members = mat[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+        cent = unit(cent)
+    lists = np.argmax(mat @ cent.T, axis=1)
+    q = emb[emb["vec_id"] < 8]
+    qunit = unit(np.stack(q["embedding"].to_numpy()).astype(np.float64).astype(np.float32))
+    order = np.argsort(-(qunit @ cent.T), axis=1, kind="stable")[:, :8]
+    rows = []
+    for qi, qid in enumerate(q["vec_id"].tolist()):
+        m = np.isin(lists, order[qi])
+        sims = mat[m] @ qunit[qi]
+        best = sorted(zip(sims.tolist(), ids[m].tolist()), key=lambda t: (-t[0], t[1]))[:10]
+        rows.extend(
+            (int(qid), int(nid), round(float(s), 6), rank + 1)
+            for rank, (s, nid) in enumerate(best)
+        )
+    want = pd.DataFrame(rows, columns=["query_id", "neighbor_id", "cosine", "rnk"])
+    _eq(got, want)

@@ -66,3 +66,59 @@ def test_sampling_ops(ray_session):
     # random sample: seeded, streams, lands near the requested fraction
     n = sample_random(ds, 0.1, seed=7).count()
     assert 100 < n < 320
+
+
+def test_asof_join_matches_pandas(ray_session):
+    """Partitioned asof_join ≡ one global pandas merge_asof: random keys,
+    duplicate (key, t) right rows (tie-break = max payload), keys with no
+    right rows (inner drops them), backward and forward directions."""
+    import numpy as np
+    import ray.data as rd
+
+    from crawler_uni_ray.ops import asof_join
+
+    rng = np.random.RandomState(11)
+    left = pd.DataFrame(
+        {
+            "lid": np.arange(400, dtype=np.int64),
+            "key": rng.randint(0, 25, 400).astype(np.int64),  # keys 20-24: no right rows
+            "t": rng.randint(0, 1000, 400).astype(np.int64),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "rkey": rng.randint(0, 20, 300).astype(np.int64),
+            "rt": rng.randint(0, 1000, 300).astype(np.int64),
+            "payload": rng.randint(0, 10**6, 300).astype(np.int64),
+        }
+    )
+
+    def reference(direction: str) -> pd.DataFrame:
+        r = (
+            right.sort_values(["rkey", "rt", "payload"], kind="mergesort")
+            .drop_duplicates(subset=["rkey", "rt"], keep="last")
+            .rename(columns={"rkey": "key", "rt": "t"})
+            .sort_values("t", kind="mergesort")
+        )
+        m = pd.merge_asof(
+            left.sort_values("t", kind="mergesort"), r, on="t", by="key",
+            direction=direction,
+        ).dropna(subset=["payload"])
+        m["payload"] = m["payload"].astype("int64")
+        return m[["lid", "key", "t", "payload"]].sort_values("lid").reset_index(drop=True)
+
+    for direction in ("backward", "forward"):
+        got = asof_join(
+            rd.from_pandas(left),
+            rd.from_pandas(right),
+            left_by="key",
+            left_on="t",
+            right_by="rkey",
+            right_on="rt",
+            payload_cols=["payload"],
+            n_buckets=7,
+            direction=direction,
+        ).to_pandas()
+        got["payload"] = got["payload"].astype("int64")
+        got = got[["lid", "key", "t", "payload"]].sort_values("lid").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, reference(direction), check_dtype=False)
