@@ -77,6 +77,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_dup_pairs": q.embeddings_dup_pairs,
         # text analysis
         "docs_text_stats": q.docs_text_stats,
+        "docs_top_terms": q.docs_top_terms,
+        "docs_tfidf_top": q.docs_tfidf_top,
+        "docs_chars_quantiles": q.docs_chars_quantiles,
         "docs_langid": q.docs_langid,
         "docs_quality": q.docs_quality,
         "docs_token_counts": q.docs_token_counts,
@@ -276,6 +279,48 @@ def oracle_sql() -> dict[str, str]:
                 + LEAST(GREATEST(1.0 - (n_punct/GREATEST(n_chars, 1))*5.0, 0), 1)*0.2
               ) * 1000000 + 0.5)/1000000 AS quality
             FROM h ORDER BY doc_id
+        """,
+        "docs_top_terms": """
+            SELECT term, COUNT(*) AS n FROM (
+                SELECT LOWER(UNNEST(REGEXP_EXTRACT_ALL(text, '[A-Za-z]+'))) AS term
+                FROM documents
+            ) GROUP BY term
+            ORDER BY n DESC, term
+            LIMIT 50
+        """,
+        # idf is the LINEAR N/df variant: one IEEE divide + one multiply,
+        # bit-identical between numpy and SQL (ln() is libm-dependent and
+        # could flip the driver hash by an ulp)
+        "docs_tfidf_top": """
+            WITH tok AS (
+                SELECT doc_id,
+                       LOWER(UNNEST(REGEXP_EXTRACT_ALL(text, '[A-Za-z]+'))) AS term
+                FROM documents
+            ), tf AS (
+                SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+            ), dfreq AS (
+                SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+            ), nd AS (
+                SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents
+            )
+            SELECT doc_id, term, tf_idf FROM (
+                SELECT tf.doc_id, tf.term,
+                       tf.tf * ((SELECT n FROM nd) / dfreq.df) AS tf_idf,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY tf.doc_id
+                           ORDER BY tf.tf * ((SELECT n FROM nd) / dfreq.df) DESC,
+                                    tf.term
+                       ) AS rnk
+                FROM tf JOIN dfreq USING (term)
+            ) WHERE rnk <= 5
+            ORDER BY doc_id, tf_idf DESC, term
+        """,
+        "docs_chars_quantiles": """
+            SELECT lang,
+                   QUANTILE_DISC(n_chars, 0.5)  AS p50,
+                   QUANTILE_DISC(n_chars, 0.9)  AS p90,
+                   QUANTILE_DISC(n_chars, 0.99) AS p99
+            FROM documents GROUP BY lang ORDER BY lang
         """,
         "embeddings_ann": """
             SELECT query_id, neighbor_id, rnk FROM (

@@ -169,3 +169,141 @@ def text_stats(ds: Dataset, id_col: str = "doc_id", text_col: str = "text") -> D
         return out
 
     return ds.map_batches(_f, batch_format="pandas")
+
+
+WORD_RE = re.compile(r"[A-Za-z]+")
+
+
+def term_count_partials(ds: Dataset, text_col: str = "text") -> Dataset:
+    """Per-batch ``(term, n)`` partial counts — the combiner that keeps
+    the term-frequency groupby shuffle proportional to the per-block
+    VOCABULARY, never the raw token stream.  Extraction order matches the
+    SQL oracle: ASCII-letter runs first, lowercase after (lowercasing
+    first could mint new ASCII letters, e.g. Kelvin-sign → 'k')."""
+
+    from ..util import from_pandas_clean
+
+    def _partial(df: pd.DataFrame):
+        toks = (
+            df[text_col].fillna("").str.findall(WORD_RE).explode().dropna().str.lower()
+        )
+        vc = toks.value_counts()
+        return from_pandas_clean(
+            pd.DataFrame({"term": vc.index.astype(str), "n": vc.to_numpy(np.int64)})
+        )
+
+    return ds.map_batches(_partial, batch_format="pandas")
+
+
+def top_terms(ds: Dataset, k: int = 50, text_col: str = "text") -> pd.DataFrame:
+    """Corpus-wide heavy-hitter terms: partial counts (above) →
+    ``groupby(term).sum`` → per-block local top-k (``select_k_unstable``;
+    (n, term) is unique after the groupby so the selection is
+    deterministic) → driver merge of ≤ k×n_blocks rows.  The driver never
+    sees the vocabulary, only candidate top-k slates."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    summed = (
+        term_count_partials(ds, text_col).groupby("term").aggregate(Sum("n", alias_name="n"))
+    )
+    keys = [("n", "descending"), ("term", "ascending")]
+
+    def _local_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows <= k:
+            return t
+        return t.take(pc.select_k_unstable(t, k=k, sort_keys=keys))
+
+    out = summed.map_batches(_local_topk, batch_format="pyarrow").to_pandas()
+    out = (
+        out.sort_values(["n", "term"], ascending=[False, True], kind="mergesort")
+        .head(k)
+        .reset_index(drop=True)
+    )
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
+def doc_term_freqs(ds: Dataset, id_col: str = "doc_id", text_col: str = "text") -> Dataset:
+    """Exact per-document term frequencies ``(doc_id, term, tf)``.  A doc
+    is one row, so per-row counting inside the batch is exact — no
+    cross-batch combine needed."""
+
+    from ..util import from_pandas_clean
+
+    def _tf(df: pd.DataFrame):
+        s = df[text_col].fillna("").str.findall(WORD_RE)
+        e = df[[id_col]].join(s.rename("term")).explode("term")
+        e = e.dropna(subset=["term"])
+        e["term"] = e["term"].str.lower()
+        g = e.groupby([id_col, "term"], sort=False).size().reset_index(name="tf")
+        g["tf"] = g["tf"].astype("int64")
+        return from_pandas_clean(g)
+
+    return ds.map_batches(_tf, batch_format="pandas")
+
+
+def tfidf_top_terms(
+    ds: Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    n_buckets: int = 64,
+) -> pd.DataFrame:
+    """Per-document top-k terms by tf·idf, two-shuffle plan: tf rows join
+    document frequencies on ``term`` (native hash join), then a
+    hash(doc)-bucketed shuffle does the per-doc top-k — each bucket holds
+    whole documents, parallelism scales with ``n_buckets``, never 1 task
+    per doc and never a global sort.  idf is the LINEAR variant N/df
+    (one IEEE divide + one multiply, bit-identical between numpy and the
+    SQL oracle — ln() would be libm-dependent).  Ties broken by term asc."""
+    from ray.data.aggregate import Count
+
+    from ..ops import add_hash_bucket
+
+    import ray
+
+    tf = doc_term_freqs(ds, id_col, text_col)
+    # strip pandas-origin metadata the aggregate leaves on its blocks —
+    # unhashable schema metadata defeats the join's schema dedup
+    dfreq = (
+        tf.groupby("term")
+        .aggregate(Count(alias_name="df"))
+        .map_batches(lambda t: t.replace_schema_metadata(None), batch_format="pyarrow")
+    )
+    n_docs = float(ds.count())
+    # join partitions sized to the cluster: each hash-shuffle aggregator
+    # reserves a CPU fraction, so n_buckets partitions on a small cluster
+    # starves the map side and deadlocks (observed at num_cpus=4)
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    n_join = max(4, min(n_buckets, 2 * cpus))
+    joined = tf.join(dfreq, join_type="inner", num_partitions=n_join, on=("term",))
+
+    def _score(t):
+        import pyarrow as pa
+
+        idf = n_docs / t["df"].to_numpy().astype(np.float64)
+        score = t["tf"].to_numpy().astype(np.float64) * idf
+        return t.append_column("tf_idf", pa.array(score, pa.float64()))
+
+    scored = add_hash_bucket(
+        joined.map_batches(_score, batch_format="pyarrow"), id_col, n_buckets
+    )
+
+    def _topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            [id_col, "tf_idf", "term"], ascending=[True, False, True], kind="mergesort"
+        )
+        out = g.groupby(id_col, sort=False).head(k)
+        return out[[id_col, "term", "tf_idf"]]
+
+    out = (
+        scored.groupby("__bucket")
+        .map_groups(_topk, batch_format="pandas")
+        .to_pandas()
+    )
+    return (
+        out.sort_values([id_col, "tf_idf", "term"], ascending=[True, False, True])
+        .reset_index(drop=True)
+    )

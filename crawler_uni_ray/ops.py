@@ -86,6 +86,40 @@ def sample_hash(ds: Dataset, key: str, keep_mod: int, n_mod: int = 10) -> Datase
     return ds.map_batches(_f, batch_format="pyarrow")
 
 
+def grouped_quantiles_disc(
+    ds: Dataset, group_col: str, value_col: str, qs: dict[str, float]
+) -> pd.DataFrame:
+    """Exact per-group discrete quantiles via a value histogram: the only
+    shuffle is ``groupby((group, value)).count()``, which Ray
+    pre-aggregates per block, and the histogram the driver picks from is
+    |groups| × |distinct values| — bounded by the value DOMAIN, not the
+    row count — so no per-group sort of raw rows ever happens.  Quantile
+    semantics match DuckDB ``quantile_disc``: the smallest value whose
+    cumulative count ≥ ceil(q·n) (probed empirically incl. float
+    boundaries like 0.99·100; the round() guards ulp drift)."""
+    import math
+
+    from ray.data.aggregate import Count
+
+    hist = (
+        ds.groupby([group_col, value_col])
+        .aggregate(Count(alias_name="cnt"))
+        .to_pandas()
+    )
+    rows = []
+    for g, sub in hist.groupby(group_col, sort=True):
+        sub = sub.sort_values(value_col)
+        cum = sub["cnt"].to_numpy(np.int64).cumsum()
+        vals = sub[value_col].to_numpy()
+        n = int(cum[-1])
+        row = {group_col: g}
+        for name, q in qs.items():
+            kk = max(math.ceil(round(q * n, 9)), 1)
+            row[name] = vals[int(np.searchsorted(cum, kk))]
+        rows.append(row)
+    return pd.DataFrame(rows)
+
+
 def asof_join(
     left: Dataset,
     right: Dataset,

@@ -21,7 +21,7 @@ from ..functions import dedup as fdedup
 from ..functions import multimodal as fmedia
 from ..functions import similarity as fsim
 from ..functions import text as ftext
-from ..ops import anti_join_shuffled
+from ..ops import anti_join_shuffled, grouped_quantiles_disc
 from ..urlnorm import clean_url, host_of, is_in_scope
 from ..util import cached_get, from_pandas_clean
 
@@ -372,6 +372,35 @@ def docs_sample(sf_dir: str) -> pd.DataFrame:
 
     out = ds.map_batches(_mod, batch_format="pyarrow").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def docs_top_terms(sf_dir: str, k: int = 50) -> pd.DataFrame:
+    """Corpus-wide heavy-hitter terms: per-batch vocab partials →
+    groupby sum → per-block top-k slates → tiny driver merge.  The token
+    stream and the global vocabulary never transit the driver."""
+    ds = _read(sf_dir, "documents", columns=["text"])
+    return ftext.top_terms(ds, k=k)
+
+
+def docs_chars_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Exact per-language n_chars quantiles on the histogram plan
+    (shuffle = pre-aggregated (lang, n_chars) counts; the per-group sort
+    of raw rows that kills sessionization-style plans never happens)."""
+    ds = _read(sf_dir, "documents", columns=["lang", "n_chars"])
+    out = grouped_quantiles_disc(
+        ds, "lang", "n_chars", {"p50": 0.5, "p90": 0.9, "p99": 0.99}
+    )
+    for c in ("p50", "p90", "p99"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+def docs_tfidf_top(sf_dir: str, k: int = 5) -> pd.DataFrame:
+    """Per-doc top-k tf·idf terms: tf ⋈ df on term (native hash join) +
+    hash(doc)-bucketed per-doc top-k — the two-shuffle plan; no global
+    sort, no vocabulary on the driver."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ftext.tfidf_top_terms(ds, k=k)
 
 
 def docs_dedup_exact(sf_dir: str) -> pd.DataFrame:

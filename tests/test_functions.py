@@ -275,3 +275,29 @@ def test_ann_ivf_exhaustive_equals_bruteforce(ray_session):
     )
     recall = len(hits) / len(exact)
     assert recall >= 0.6, recall
+
+
+def test_top_terms_combiner_matches_counter(ray_session):
+    # the distributed partial-count → sum → local-top-k plan must equal a
+    # plain Counter over the whole corpus, ties broken by term asc
+    from collections import Counter
+
+    import ray.data as rd
+
+    texts = [
+        "The cat and the dog",
+        "cat CAT cat! dog?",
+        "",
+        None,
+        "Zebra zebra apple apple apple",
+    ]
+    df = pd.DataFrame({"text": texts}, dtype=object)
+    got = ftext.top_terms(rd.from_pandas(df).repartition(3), k=4)
+    c = Counter(
+        tok.lower()
+        for t in texts
+        if t
+        for tok in ftext.WORD_RE.findall(t)
+    )
+    want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:4]
+    assert list(zip(got["term"], got["n"])) == want

@@ -122,3 +122,39 @@ def test_asof_join_matches_pandas(ray_session):
         got["payload"] = got["payload"].astype("int64")
         got = got[["lid", "key", "t", "payload"]].sort_values("lid").reset_index(drop=True)
         pd.testing.assert_frame_equal(got, reference(direction), check_dtype=False)
+
+
+def test_grouped_quantiles_disc_matches_duckdb_on_dupes(ray_session):
+    # heavy duplication + tiny groups: the sf-testdata run (test_queries)
+    # never stresses tie/boundary picks, this does
+    import duckdb
+    import numpy as np
+    import ray.data as rd
+
+    from crawler_uni_ray.ops import grouped_quantiles_disc
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame(
+        {
+            "g": np.repeat(["a", "b", "c", "d"], [1, 2, 100, 997]),
+            "v": np.concatenate(
+                [
+                    [5],
+                    [3, 3],
+                    rng.integers(0, 4, 100),  # heavy dupes
+                    rng.integers(0, 1000, 997),
+                ]
+            ).astype("int64"),
+        }
+    )
+    got = grouped_quantiles_disc(
+        rd.from_pandas(df), "g", "v", {"p50": 0.5, "p90": 0.9, "p99": 0.99}
+    ).sort_values("g").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.execute(
+        """SELECT g, QUANTILE_DISC(v, 0.5) AS p50, QUANTILE_DISC(v, 0.9) AS p90,
+                  QUANTILE_DISC(v, 0.99) AS p99
+           FROM t GROUP BY g ORDER BY g"""
+    ).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
