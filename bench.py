@@ -205,6 +205,8 @@ def bench_queries() -> dict:
         ("docs_dedup_exact", q.docs_dedup_exact),
         ("docs_minhash_clusters", q.docs_minhash_clusters),
         ("docs_quality", q.docs_quality),
+        ("docs_top_terms", q.docs_top_terms),
+        ("docs_tfidf_top", q.docs_tfidf_top),
         ("embeddings_ann", q.embeddings_ann),
     ]:
         t0 = time.time()
