@@ -68,6 +68,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "suppliers_per_nation": q.suppliers_per_nation,
         "lineitem_date_range": q.lineitem_date_range,
         "docs_sample": q.docs_sample,
+        "orders_top3_per_cust": q.orders_top3_per_cust,
+        "revenue_by_priority": q.revenue_by_priority,
         # dedup suite
         "docs_dedup_exact": q.docs_dedup_exact,
         "docs_minhash_clusters": q.docs_minhash_clusters,
@@ -84,6 +86,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_quality": q.docs_quality,
         "docs_token_counts": q.docs_token_counts,
         "docs_fingerprint": q.docs_fingerprint,
+        "docs_pii_redact": q.docs_pii_redact,
+        "docs_repetition": q.docs_repetition,
         # similarity search
         "embeddings_ann": q.embeddings_ann,
         "embeddings_ann_lsh": q.embeddings_ann_lsh,
@@ -321,6 +325,68 @@ def oracle_sql() -> dict[str, str]:
                    QUANTILE_DISC(n_chars, 0.9)  AS p90,
                    QUANTILE_DISC(n_chars, 0.99) AS p99
             FROM documents GROUP BY lang ORDER BY lang
+        """,
+        # PII augment string is built identically on both sides (the
+        # synthetic docs have no natural PII); redaction regexes are RE2
+        # in BOTH engines (pyarrow replace_substring_regex / DuckDB)
+        "docs_pii_redact": r"""
+            WITH aug AS (
+              SELECT doc_id,
+                     text || ' contact user' || doc_id || '@mail-'
+                          || (doc_id % 7) || '.example.com from 10.'
+                          || (doc_id % 256) || '.' || ((doc_id * 7) % 256)
+                          || '.' || ((doc_id * 13) % 256) || ' call +1-555-'
+                          || LPAD(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+              FROM documents)
+            SELECT doc_id,
+                   REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(text,
+                       '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                       '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+                     '\+?[0-9][0-9\-]{6,}[0-9]', '<PHONE>', 'g') AS text_redacted
+            FROM aug ORDER BY doc_id
+        """,
+        "docs_repetition": r"""
+            WITH tok AS (
+              SELECT doc_id, REGEXP_EXTRACT_ALL(LOWER(text), '[a-z]+') AS toks
+              FROM documents
+            ), big AS (
+              SELECT doc_id, LEN(toks) AS n_tokens_w,
+                     LEN(LIST_DISTINCT(toks)) AS n_distinct,
+                     [toks[i] || ' ' || toks[i+1] FOR i IN RANGE(1, LEN(toks))] AS bigrams
+              FROM tok
+            )
+            SELECT doc_id, n_tokens_w, n_distinct,
+                   FLOOR(CASE WHEN n_tokens_w > 0
+                         THEN 1.0 - CAST(n_distinct AS DOUBLE)/GREATEST(n_tokens_w,1)
+                         ELSE 0 END * 1000000 + 0.5)/1000000 AS dup_word_ratio,
+                   FLOOR(CAST(CASE WHEN LEN(bigrams) = 0 THEN 0
+                          ELSE (SELECT MAX(cnt) FROM (SELECT COUNT(*) AS cnt
+                                FROM UNNEST(bigrams) AS t(b) GROUP BY b))
+                          END AS DOUBLE) / GREATEST(n_tokens_w - 1, 1)
+                          * 1000000 + 0.5)/1000000 AS top_bigram_frac
+            FROM big ORDER BY doc_id
+        """,
+        "orders_top3_per_cust": """
+            SELECT o_custkey, o_orderkey, o_totalprice FROM (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey
+                       ) AS rnk
+                FROM orders
+            ) WHERE rnk <= 3
+            ORDER BY o_custkey, o_totalprice DESC, o_orderkey
+        """,
+        "revenue_by_priority": """
+            WITH per_order AS (
+                SELECT l_orderkey,
+                       SUM(l_extendedprice * (1 - l_discount)) AS revenue
+                FROM lineitem GROUP BY l_orderkey
+            )
+            SELECT o_orderpriority, COUNT(*) AS n_orders,
+                   ROUND(SUM(revenue), 2) AS total_revenue
+            FROM per_order JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
         """,
         "embeddings_ann": """
             SELECT query_id, neighbor_id, rnk FROM (

@@ -206,6 +206,8 @@ def bench_queries() -> dict:
         ("docs_minhash_clusters", q.docs_minhash_clusters),
         ("docs_quality", q.docs_quality),
         ("docs_top_terms", q.docs_top_terms),
+        ("docs_repetition", q.docs_repetition),
+        ("revenue_by_priority", q.revenue_by_priority),
         ("docs_tfidf_top", q.docs_tfidf_top),
         ("embeddings_ann", q.embeddings_ann),
     ]:

@@ -307,3 +307,84 @@ def tfidf_top_terms(
         out.sort_values([id_col, "tf_idf", "term"], ascending=[True, False, True])
         .reset_index(drop=True)
     )
+
+
+# ------------------------------------------------------------- PII redaction
+
+# RE2 syntax on BOTH sides: pyarrow's replace_substring_regex and DuckDB's
+# REGEXP_REPLACE are each backed by RE2, so the engine and the SQL oracle
+# share one regex dialect (Python `re` would differ on \b inside classes).
+# Order matters: emails first (they contain digit runs a PHONE pattern
+# could partially eat), then dotted quads, then phone-ish digit runs.
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+    (r"\+?[0-9][0-9\-]{6,}[0-9]", "<PHONE>"),
+]
+
+
+def redact_pii_array(arr):
+    """Redact emails / IPv4s / phone-ish digit runs in a string array.
+    Vectorized: three RE2 passes over the whole Arrow array, zero Python
+    per-row work."""
+    import pyarrow.compute as pc
+
+    for pat, rep in PII_PATTERNS:
+        arr = pc.replace_substring_regex(arr, pattern=pat, replacement=rep)
+    return arr
+
+
+def add_pii_redaction(ds: Dataset, text_col: str = "text",
+                      out_col: str = "text_redacted") -> Dataset:
+    """Append a redacted copy of ``text_col``.  Scale: per-batch Arrow
+    kernel, no shuffle, streams block-by-block."""
+    import pyarrow as pa
+
+    def _f(t: pa.Table) -> pa.Table:
+        return t.append_column(out_col, redact_pii_array(t[text_col]))
+
+    return ds.map_batches(_f, batch_format="pyarrow")
+
+
+# ------------------------------------------------- repetition (Gopher-style)
+
+
+def repetition_stats_batch(texts: pd.Series) -> pd.DataFrame:
+    """Per-doc repetition signals (Gopher-style quality filters): token
+    count, distinct-token count, duplicate-word ratio, and the count of
+    the most frequent word bigram.  Vectorized via explode + grouped
+    C-path pandas ops (nunique / shift / value_counts) — no per-row
+    Python loop."""
+    toks = texts.str.lower().str.findall(r"[a-z]+")
+    n_tokens = toks.str.len().to_numpy(dtype=np.int64)
+    ex = toks.explode().dropna()
+    n_distinct = np.zeros(len(texts), dtype=np.int64)
+    top_bigram_n = np.zeros(len(texts), dtype=np.int64)
+    if len(ex):
+        nd = ex.groupby(level=0).nunique()
+        n_distinct[nd.index.to_numpy()] = nd.to_numpy()
+        nxt = ex.groupby(level=0).shift(-1)
+        big = (ex + " " + nxt).dropna()
+        if len(big):
+            bc = big.groupby(level=0).value_counts().groupby(level=0).max()
+            top_bigram_n[bc.index.to_numpy()] = bc.to_numpy()
+    dup_ratio = np.where(
+        n_tokens > 0, 1.0 - n_distinct / np.maximum(n_tokens, 1), 0.0
+    )
+    big_frac = top_bigram_n / np.maximum(n_tokens - 1, 1)
+    return pd.DataFrame({
+        "n_tokens_w": n_tokens,
+        "n_distinct": n_distinct,
+        "dup_word_ratio": round6(dup_ratio),
+        "top_bigram_frac": round6(big_frac),
+    })
+
+
+def add_repetition_stats(ds: Dataset, id_col: str = "doc_id",
+                         text_col: str = "text") -> Dataset:
+    def _f(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.reset_index(drop=True)
+        stats = repetition_stats_batch(df[text_col])
+        return pd.concat([df[[id_col]], stats], axis=1)
+
+    return ds.map_batches(_f, batch_format="pandas")

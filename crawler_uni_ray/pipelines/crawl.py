@@ -172,7 +172,9 @@ def _write_atomic(ds: Dataset, final_dir: str) -> int:
     shutil.rmtree(tmp, ignore_errors=True)
     shutil.rmtree(final_dir, ignore_errors=True)
     os.makedirs(tmp, exist_ok=True)
-    ds.write_parquet(tmp)
+    # zstd: ~2-3× smaller than snappy on html/text columns — checkpoint
+    # phases are I/O-bound, so the ratio win beats the cpu cost at scale
+    ds.write_parquet(tmp, arrow_parquet_args_fn=lambda: {"compression": "zstd"})
     os.rename(tmp, final_dir)
     return _count_rows(final_dir)
 
@@ -183,7 +185,7 @@ def _write_atomic_table(tbl: pa.Table, final_dir: str) -> int:
     shutil.rmtree(tmp, ignore_errors=True)
     shutil.rmtree(final_dir, ignore_errors=True)
     os.makedirs(tmp, exist_ok=True)
-    pq.write_table(tbl, os.path.join(tmp, "part-0.parquet"))
+    pq.write_table(tbl, os.path.join(tmp, "part-0.parquet"), compression="zstd")
     os.rename(tmp, final_dir)
     return tbl.num_rows
 

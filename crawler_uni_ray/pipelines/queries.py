@@ -621,3 +621,122 @@ def media_image_features(sf_dir: str) -> pd.DataFrame:
     ]
     out["feat_mean"] = out["feat_mean"].astype(float).round(6)
     return out.sort_values("media_id").reset_index(drop=True)
+
+
+# ------------------------------------------------------- round-2 additions
+
+
+def docs_pii_redact(sf_dir: str) -> pd.DataFrame:
+    """PII redaction (emails / IPv4 / phone runs → placeholder tokens).
+    The synthetic docs carry no natural PII, so both engines first append
+    a deterministic PII suffix derived from ``doc_id`` (identical string
+    construction in the SQL oracle) — the redaction regexes are then
+    genuinely exercised and hash-compared.  Scale: pure per-batch Arrow
+    RE2 kernels (text.redact_pii_array), no shuffle, streams."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _aug(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.reset_index(drop=True)
+        di = df["doc_id"].to_numpy()
+        aug = (
+            df["text"]
+            + " contact user" + pd.Series(di).astype(str)
+            + "@mail-" + pd.Series(di % 7).astype(str)
+            + ".example.com from 10." + pd.Series(di % 256).astype(str)
+            + "." + pd.Series(di * 7 % 256).astype(str)
+            + "." + pd.Series(di * 13 % 256).astype(str)
+            + " call +1-555-" + pd.Series(di % 10000).astype(str).str.zfill(4)
+        )
+        out = pd.DataFrame({"doc_id": di, "text": aug})
+        return out
+
+    redacted = ftext.add_pii_redaction(
+        ds.map_batches(_aug, batch_format="pandas")
+    )
+    out = redacted.select_columns(["doc_id", "text_redacted"]).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def docs_repetition(sf_dir: str) -> pd.DataFrame:
+    """Gopher-style repetition quality signals per document: duplicate-word
+    ratio and top-bigram fraction.  Scale: one vectorized pandas kernel
+    per batch (explode + grouped nunique/shift/value_counts), no shuffle."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ftext.add_repetition_stats(ds).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def orders_top3_per_cust(sf_dir: str, k: int = 3) -> pd.DataFrame:
+    """Grouped top-N per key (window-rank shape).  Physical plan: per-block
+    combiner keeps each block's local top-k per customer (top-k per key is
+    a union-closed property), then ONE hash(custkey)-bucketed shuffle does
+    the final per-customer top-k — buckets hold whole customers, shuffle
+    volume ≤ k×n_blocks rows per customer, parallelism scales with
+    n_buckets, never a global sort."""
+    from ..ops import add_hash_bucket
+
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def _local(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["o_custkey", "o_totalprice", "o_orderkey"],
+            ascending=[True, False, True], kind="mergesort",
+        )
+        return df.groupby("o_custkey", sort=False).head(k)
+
+    n_buckets = max(8, 4 * int(ray.cluster_resources().get("CPU", 8)))
+    bucketed = add_hash_bucket(
+        ds.map_batches(_local, batch_format="pandas", zero_copy_batch=True),
+        "o_custkey", n_buckets,
+    )
+
+    def _final(g: pd.DataFrame) -> pd.DataFrame:
+        g = _local(g)
+        return g[["o_custkey", "o_orderkey", "o_totalprice"]]
+
+    out = (
+        bucketed.groupby("__bucket")
+        .map_groups(_final, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(
+        ["o_custkey", "o_totalprice", "o_orderkey"], ascending=[True, False, True]
+    ).reset_index(drop=True)
+
+
+def revenue_by_priority(sf_dir: str) -> pd.DataFrame:
+    """Large ⋈ large join done the scale way: lineitem is FIRST partially
+    aggregated to one revenue row per order (shuffle #1 moves pre-summed
+    partials), then the per-order rows hash-join orders on the order key
+    (shuffle #2, partitions sized ~2× cluster CPUs — oversizing starves
+    the map side and deadlocks on small clusters), then a tiny 5-row
+    groupby.  Joining raw lineitem would shuffle every line row."""
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def _rev(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"l_orderkey": t["l_orderkey"], "revenue": rev})
+
+    per_order = (
+        li.map_batches(_rev, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("revenue", alias_name="revenue"))
+        .map_batches(lambda t: t.replace_schema_metadata(None), batch_format="pyarrow")
+    )
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    joined = per_order.join(
+        orders, join_type="inner", num_partitions=max(4, 2 * cpus),
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+    out = (
+        joined.groupby("o_orderpriority")
+        .aggregate(Sum("revenue", alias_name="total_revenue"), Count(alias_name="n_orders"))
+        .to_pandas()
+    )
+    out["total_revenue"] = out["total_revenue"].round(2)
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return (
+        out[["o_orderpriority", "n_orders", "total_revenue"]]
+        .sort_values("o_orderpriority").reset_index(drop=True)
+    )

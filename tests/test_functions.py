@@ -301,3 +301,38 @@ def test_top_terms_combiner_matches_counter(ray_session):
     )
     want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:4]
     assert list(zip(got["term"], got["n"])) == want
+
+
+def test_redact_pii_array():
+    import pyarrow as pa
+
+    arr = pa.array([
+        "mail me at john.doe+x@sub.example.org now",
+        "server 192.168.0.1 and 10.0.0.255 up",
+        "call +1-555-0142 or 555-867-5309 ok",
+        "no pii here",
+        "",
+    ])
+    out = ftext.redact_pii_array(arr).to_pylist()
+    assert out[0] == "mail me at <EMAIL> now"
+    assert out[1] == "server <IP> and <IP> up"
+    assert out[2] == "call <PHONE> or <PHONE> ok"
+    assert out[3] == "no pii here"
+    assert out[4] == ""
+
+
+def test_repetition_stats_batch():
+    s = pd.Series([
+        "a a a a",            # 4 tokens, 1 distinct, top bigram "a a" ×3
+        "x y x y x",          # 5 tokens, 2 distinct, "x y" ×2
+        "all words unique",   # no repetition
+        "",                   # empty → zeros
+    ])
+    out = ftext.repetition_stats_batch(s)
+    assert list(out["n_tokens_w"]) == [4, 5, 3, 0]
+    assert list(out["n_distinct"]) == [1, 2, 3, 0]
+    assert out["dup_word_ratio"][0] == 0.75
+    assert out["top_bigram_frac"][0] == 1.0  # 3/3 bigram slots
+    assert out["dup_word_ratio"][3] == 0.0 and out["top_bigram_frac"][3] == 0.0
+    # distinct-token ratio for alternation: 1 - 2/5
+    assert out["dup_word_ratio"][1] == 0.6
