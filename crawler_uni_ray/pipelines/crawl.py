@@ -203,6 +203,81 @@ _COMBINE_SCHEMA = pa.schema(
     ]
 )
 
+_SEED_CNT = -2  # __cnt marker for combine-group seed rows (dropped in combine)
+
+
+def _bucket_seed_table(n_buckets: int) -> pa.Table:
+    """One marker row per frontier-dedup bucket (combine-input schema +
+    ``__bucket``) so every combine group fires even when a bucket's only
+    real input is on-disk deferred partials."""
+    n = n_buckets
+    return pa.table(
+        {
+            "url": pa.array([""] * n, pa.string()),
+            "host": pa.array([""] * n, pa.string()),
+            "depth": pa.array(np.zeros(n, dtype=np.int32), pa.int32()),
+            "priority": pa.array(np.zeros(n), pa.float64()),
+            "discovered_from": pa.array([""] * n, pa.string()),
+            "__cnt": pa.array(np.full(n, _SEED_CNT, dtype=np.int64), pa.int64()),
+            "__bucket": pa.array(np.arange(n, dtype=np.int64), pa.int64()),
+        }
+    )
+
+
+def _deferred_partials_writer(deferred_dir: str, dedup_buckets: int):
+    """Writer handed to the fused scheduler: converts a deferred-rows table
+    to combine-input partials, partitions them by the frontier-dedup
+    bucket, and writes one file per (dedup bucket, schedule bucket) —
+    deterministic names + tmp→rename ⇒ idempotent under task retries.
+    The frontier combine reads them back per bucket; that read is safe
+    because the combine sits behind a later all-to-all in the same
+    execution (every schedule task, hence every side-write, completes
+    before any combine group runs)."""
+
+    def write(deferred: pa.Table, sched_bucket: int) -> None:
+        from ..urlnorm import url_hash_batch
+
+        part = deferred_partials_pandas(deferred.to_pandas())
+        db = (
+            url_hash_batch(part["url"].to_numpy(dtype=object)) % dedup_buckets
+        ).astype(np.int64)
+        for d in np.unique(db):
+            sub = part[db == d]
+            t = pa.Table.from_pandas(
+                sub, schema=_COMBINE_SCHEMA, preserve_index=False
+            ).replace_schema_metadata(None)
+            final = os.path.join(
+                deferred_dir, f"d{int(d):05d}-s{sched_bucket:05d}.parquet"
+            )
+            tmp = f"{final}.{os.getpid()}.tmp"
+            pq.write_table(t, tmp, compression="zstd")
+            os.rename(tmp, final)
+
+    return write
+
+
+def _side_write_results(results: Dataset, tmp_dir: str) -> Dataset:
+    """Durably write each results block (content-derived names, tmp→rename
+    ⇒ idempotent under retries; urls are unique per level so distinct
+    blocks never collide) and stream on only url/depth/outlinks — the
+    html/text payload never transits the frontier phase, and the level
+    needs no results read-back execution."""
+
+    def _w(t: pa.Table) -> pa.Table:
+        if t.num_rows:
+            import hashlib
+
+            urls = t["url"].to_pylist()
+            h = hashlib.sha1("\x00".join(urls).encode()).hexdigest()[:20]
+            final = os.path.join(tmp_dir, f"block-{h}.parquet")
+            if not os.path.exists(final):
+                tmpf = f"{final}.{os.getpid()}.tmp"
+                pq.write_table(t, tmpf, compression="zstd")
+                os.rename(tmpf, final)
+        return t.select(["url", "depth", "outlinks"])
+
+    return results.map_batches(_w, batch_format="pyarrow", batch_size=None)
+
 
 class CrawlEngine:
     RESULTS_SCHEMA = pa.schema(
@@ -402,7 +477,17 @@ class CrawlEngine:
         return n_next
 
     def _run_level_big(self, k: int, frontier: Dataset, n_frontier: int) -> int:
-        """Distributed path: every control-plane stage is a Dataset op."""
+        """Distributed path: every control-plane stage is a Dataset op,
+        FUSED into one streaming execution per level: the schedule shuffle
+        streams into seen-add → fetch → extract, results are side-written
+        per block (idempotent names), and the projected outlinks continue
+        in the SAME execution through the frontier-combine shuffle — no
+        results read-back and no per-phase execution barrier.  Deferred
+        rows are side-written as combine-input partials partitioned by the
+        frontier-dedup bucket and read back inside the combine groups
+        (safe: the combine sits behind a later all-to-all, so every
+        schedule-side write is durable first)."""
+        import glob as _glob
         import time as _time
 
         _t0 = _time.time()
@@ -411,21 +496,29 @@ class CrawlEngine:
         if self._robots_ref is not None:
             candidates = robots_filter(candidates, self._robots_ref)
 
+        # ONE partitioning key reused across the level: the frontier-dedup
+        # modulus matches the corpus's url-hash partitioning so
+        # frontier_next files come out partition-aligned and the next
+        # level's fetch touches ~1 corpus partition per batch
+        dedup_buckets = (
+            cfg.num_corpus_shards if self._fetch_mode == "partitioned" else cfg.n_buckets
+        )
+
         flagged = None
-        deferred_dir = None
+        deferred_stream = None  # in-stream deferred rows (skew path)
+        deferred_dir = None  # on-disk deferred partials (fused budget path)
         if cfg.budget is None:
             scheduled = candidates
-            deferred = ray.data.from_arrow(FRONTIER_SCHEMA.empty_table())
         elif cfg.skew_threshold is None:
-            # fused scheduling: deferred rows side-written per bucket inside
-            # the scheduling groups; scheduled rows stream straight on into
-            # seen-add → fetch → extract → write (ONE execution, one shuffle)
             deferred_dir = self._lvl(k, "deferred")
             shutil.rmtree(deferred_dir, ignore_errors=True)
+            os.makedirs(deferred_dir, exist_ok=True)
             scheduled = schedule_level_fused(
-                candidates, cfg.budget, deferred_dir, n_buckets=cfg.n_buckets
+                candidates,
+                cfg.budget,
+                _deferred_partials_writer(deferred_dir, dedup_buckets),
+                n_buckets=cfg.n_buckets,
             )
-            deferred = None  # readable only after the main execution runs
         else:
             flagged = schedule_level(
                 candidates,
@@ -445,34 +538,37 @@ class CrawlEngine:
                 return f
 
             scheduled = flagged.map_batches(_split(True), batch_format="pyarrow")
-            deferred = flagged.map_batches(_split(False), batch_format="pyarrow")
+            deferred_stream = flagged.map_batches(_split(False), batch_format="pyarrow")
 
+        results_final = self._lvl(k, "results")
+        results_tmp = results_final + ".tmp"
+        shutil.rmtree(results_tmp, ignore_errors=True)
+        shutil.rmtree(results_final, ignore_errors=True)
+        os.makedirs(results_tmp, exist_ok=True)
+
+        empty_results = False
         if self._fetch_mode == "join":
-            # ray 2.49 Dataset.join raises on a fully-empty left side
+            # ray 2.49 Dataset.join raises on a fully-empty left side; the
+            # materialize is also a barrier that makes the fused path's
+            # deferred side-writes durable before the combine below
             scheduled = scheduled.materialize()
-            if scheduled.count() == 0:
-                n_results = _write_atomic_table(
-                    self.RESULTS_SCHEMA.empty_table(), self._lvl(k, "results")
-                )
-            else:
-                n_results = self._fetch_extract_write(scheduled, k, n_frontier)
+            empty_results = scheduled.count() == 0
+
+        if empty_results:
+            slim = ray.data.from_arrow(
+                self.RESULTS_SCHEMA.empty_table().select(["url", "depth", "outlinks"])
+            )
         else:
+            marked = seen_add(scheduled, self.seen)
             # n_frontier is an upper bound on the scheduled rows — the
             # right scale signal for the align-vs-per-batch fetch choice
-            n_results = self._fetch_extract_write(scheduled, k, n_frontier)
+            fetched = self._fetch(marked, n_frontier)
+            results = extract_stage(
+                fetched, depth=k, batch_size=cfg.extract_batch_size
+            )
+            slim = _side_write_results(results, results_tmp)
 
-        _t_main = _time.time() - _t0
-        if deferred is None:  # fused path: deferred now durable on disk
-            deferred = _read_parquet_dir(deferred_dir, FRONTIER_SCHEMA)
-
-        # column-pruned read: the flatten needs url/depth/outlinks only —
-        # never re-stream the text payload through this phase
-        results_ds = _read_parquet_dir(
-            self._lvl(k, "results"),
-            self.RESULTS_SCHEMA,
-            columns=["url", "depth", "outlinks"],
-        )
-        outlinks = flatten_outlinks(results_ds, cfg.domain)
+        outlinks = flatten_outlinks(slim, cfg.domain)
 
         def _next_partials(t: pa.Table) -> pa.Table:
             # local pre-aggregation (combiner): one row per distinct url
@@ -496,31 +592,48 @@ class CrawlEngine:
                 g, schema=_COMBINE_SCHEMA, preserve_index=False
             ).replace_schema_metadata(None)
 
-        next_candidates = outlinks.map_batches(
-            _next_partials, batch_format="pyarrow"
-        ).union(deferred.map_batches(_deferred_partials, batch_format="pyarrow"))
-        # bucket the combine with the SAME url hash modulus as the corpus
-        # partitioning so frontier_next files come out partition-aligned
-        # and the next level's fetch touches ~1 partition per batch
-        dedup_buckets = (
-            cfg.num_corpus_shards if self._fetch_mode == "partitioned" else cfg.n_buckets
-        )
+        next_candidates = outlinks.map_batches(_next_partials, batch_format="pyarrow")
+        if deferred_stream is not None:
+            next_candidates = next_candidates.union(
+                deferred_stream.map_batches(_deferred_partials, batch_format="pyarrow")
+            )
+        bucketed = add_hash_bucket(next_candidates, "url", dedup_buckets)
+        if deferred_dir is not None:
+            # seed one marker row per bucket so every combine group fires
+            # even when its only real input is on-disk deferred partials
+            bucketed = bucketed.union(
+                ray.data.from_arrow(_bucket_seed_table(dedup_buckets))
+            )
         policy = cfg.priority_policy
+        deferred_read_dir = deferred_dir
 
         def _combine(g: pd.DataFrame) -> pa.Table:
-            out = combine_frontier_pandas(g.drop(columns=["__bucket"]), policy)
+            b = int(g["__bucket"].iloc[0])
+            g = g[g["__cnt"] != _SEED_CNT].drop(columns=["__bucket"])
+            if deferred_read_dir is not None:
+                files = sorted(
+                    _glob.glob(os.path.join(deferred_read_dir, f"d{b:05d}-*.parquet"))
+                )
+                if files:
+                    g = pd.concat(
+                        [g] + [pq.read_table(f).to_pandas() for f in files],
+                        ignore_index=True,
+                    )
+            out = combine_frontier_pandas(g, policy)
             return pa.Table.from_pandas(
                 out, schema=FRONTIER_SCHEMA, preserve_index=False
             ).replace_schema_metadata(None)
 
-        frontier_next = (
-            add_hash_bucket(next_candidates, "url", dedup_buckets)
-            .groupby("__bucket")
-            .map_groups(_combine, batch_format="pandas")
+        frontier_next = bucketed.groupby("__bucket").map_groups(
+            _combine, batch_format="pandas"
         )
         n_next = _write_atomic(frontier_next, self._lvl(k, "frontier_next"))
+        _t_main = _time.time() - _t0
 
-        _t_next = _time.time() - _t0 - _t_main
+        # the big execution is done: commit the side-written results dir
+        os.rename(results_tmp, results_final)
+        n_results = _count_rows(results_final)
+
         if flagged is not None:
             n_cand = flagged.count()
         elif deferred_dir is not None:
@@ -528,6 +641,7 @@ class CrawlEngine:
         else:
             n_cand = n_results
         n_miss = self._results_miss_count(k)
+        _t_next = _time.time() - _t0 - _t_main
         self._finish_level(
             k,
             LevelMetrics(

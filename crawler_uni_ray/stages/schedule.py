@@ -70,23 +70,21 @@ def schedule_flags_pandas(df: pd.DataFrame, budget: int | None) -> np.ndarray:
 def schedule_level_fused(
     ds: Dataset,
     budget: int,
-    deferred_dir: str,
+    deferred_writer,
     *,
     n_buckets: int = 32,
 ) -> Dataset:
     """Single-execution scheduling (no hot-host salting): the per-bucket
     group op RETURNS only the scheduled rows — which flow straight into
     the fused seen-add → fetch → extract stages — and SIDE-WRITES its
-    deferred rows to ``deferred_dir/bucket-NNNNN.parquet``.  File names
-    are deterministic per bucket and writes go tmp→rename, so Ray task
-    retries are idempotent (same bucket ⇒ same content ⇒ same file).
-    This removes the materialize + second pass the split variant pays —
-    one groupby shuffle is the level's only barrier."""
-    import os
-
-    import pyarrow.parquet as pq
-
-    os.makedirs(deferred_dir, exist_ok=True)
+    deferred rows via ``deferred_writer(table, bucket_id)`` (the crawl
+    loop supplies a writer that emits combine-input partials partitioned
+    by the frontier-dedup bucket, with deterministic per-bucket file
+    names and tmp→rename, so Ray task retries are idempotent).  This
+    removes the materialize + second pass the split variant pays — one
+    groupby shuffle is the level's only barrier, and because the frontier
+    combine sits BEHIND a later all-to-all in the same execution, every
+    side-write is durable before any combine group runs."""
 
     def _bucket(t: pa.Table) -> pa.Table:
         hosts = t["host"].to_pylist()
@@ -104,10 +102,7 @@ def schedule_level_fused(
         kept = rank < budget
         deferred = t.filter(pa.array(~kept))
         if deferred.num_rows:
-            final = os.path.join(deferred_dir, f"bucket-{bid:05d}.parquet")
-            tmp = f"{final}.{os.getpid()}.tmp"
-            pq.write_table(deferred, tmp)
-            os.rename(tmp, final)
+            deferred_writer(deferred, bid)
         return t.filter(pa.array(kept))
 
     return (
