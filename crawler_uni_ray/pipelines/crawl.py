@@ -476,6 +476,21 @@ class CrawlEngine:
         )
         return n_next
 
+    def _load_hot_hosts(self, k: int) -> set[str] | None:
+        """Hot hosts for level ``k`` from the PREVIOUS level's side-written
+        frontier host counts (a tiny driver-side read — one row per
+        (host, bucket)).  None → ``schedule_level`` falls back to its
+        distributed count pass (level 0, small-path predecessor, resume
+        without the artifact)."""
+        if self.cfg.skew_threshold is None or k == 0:
+            return None
+        files = _parquet_files(self._lvl(k - 1, "host_counts"))
+        if not files:
+            return None
+        t = pa.concat_tables(pq.read_table(f) for f in files)
+        df = t.to_pandas().groupby("host", as_index=False)["n"].sum()
+        return set(df.loc[df["n"] > self.cfg.skew_threshold, "host"])
+
     def _run_level_big(self, k: int, frontier: Dataset, n_frontier: int) -> int:
         """Distributed path: every control-plane stage is a Dataset op,
         FUSED into one streaming execution per level: the schedule shuffle
@@ -526,6 +541,7 @@ class CrawlEngine:
                 n_buckets=cfg.n_buckets,
                 n_salts=cfg.n_salts,
                 skew_threshold=cfg.skew_threshold,
+                hot_hosts=self._load_hot_hosts(k),
             ).materialize()  # level working set: reused by scheduled+deferred branches
 
             def _split(keep: bool):
@@ -606,6 +622,13 @@ class CrawlEngine:
             )
         policy = cfg.priority_policy
         deferred_read_dir = deferred_dir
+        hc_dir = None
+        if cfg.skew_threshold is not None:
+            # side-product: per-host counts of the NEXT frontier, so the
+            # next level's hot-host detection needs no count execution
+            hc_dir = self._lvl(k, "host_counts")
+            shutil.rmtree(hc_dir, ignore_errors=True)
+            os.makedirs(hc_dir, exist_ok=True)
 
         def _combine(g: pd.DataFrame) -> pa.Table:
             b = int(g["__bucket"].iloc[0])
@@ -620,6 +643,18 @@ class CrawlEngine:
                         ignore_index=True,
                     )
             out = combine_frontier_pandas(g, policy)
+            if hc_dir is not None and len(out):
+                vc = out["host"].value_counts()
+                t = pa.table(
+                    {
+                        "host": pa.array(vc.index.astype(str)),
+                        "n": pa.array(vc.to_numpy(dtype=np.int64)),
+                    }
+                )
+                final = os.path.join(hc_dir, f"b{b:05d}.parquet")
+                tmpf = f"{final}.{os.getpid()}.tmp"
+                pq.write_table(t, tmpf)
+                os.rename(tmpf, final)
             return pa.Table.from_pandas(
                 out, schema=FRONTIER_SCHEMA, preserve_index=False
             ).replace_schema_metadata(None)

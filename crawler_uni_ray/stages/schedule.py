@@ -119,11 +119,16 @@ def schedule_level(
     n_buckets: int = 32,
     n_salts: int = 8,
     skew_threshold: int | None = None,
+    hot_hosts: set[str] | None = None,
 ) -> Dataset:
     """Append a bool ``scheduled`` column; False rows are the deferred set.
 
     ``budget=None`` → everything scheduled, zero shuffles (the pure
-    reference-semantics path).
+    reference-semantics path).  ``hot_hosts`` (optional) skips the
+    distributed count pass: the crawl loop supplies frontier host counts
+    side-written by the previous level's combine — a pre-seen-filter
+    upper bound, which only ever salts MORE hosts, and the salted plan is
+    ≡ the unsalted plan (test_skew_salting_equals_unsalted_plan).
     """
     if budget is None:
 
@@ -132,10 +137,11 @@ def schedule_level(
 
         return ds.map_batches(_all, batch_format="pyarrow")
 
-    hot_hosts: set[str] = set()
-    if skew_threshold is not None:
-        hc = host_counts(ds)
-        hot_hosts = set(hc.loc[hc["n"] > skew_threshold, "host"])
+    if hot_hosts is None:
+        hot_hosts = set()
+        if skew_threshold is not None:
+            hc = host_counts(ds)
+            hot_hosts = set(hc.loc[hc["n"] > skew_threshold, "host"])
 
     def _bucket(t: pa.Table) -> pa.Table:
         hosts = np.asarray(t["host"].to_pylist(), dtype=object)
