@@ -70,6 +70,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_sample": q.docs_sample,
         "orders_top3_per_cust": q.orders_top3_per_cust,
         "revenue_by_priority": q.revenue_by_priority,
+        "events_distinct_users_by_type": q.events_distinct_users_by_type,
+        "orders_monthly": q.orders_monthly,
         # dedup suite
         "docs_dedup_exact": q.docs_dedup_exact,
         "docs_minhash_clusters": q.docs_minhash_clusters,
@@ -376,6 +378,16 @@ def oracle_sql() -> dict[str, str]:
                 FROM orders
             ) WHERE rnk <= 3
             ORDER BY o_custkey, o_totalprice DESC, o_orderkey
+        """,
+        "events_distinct_users_by_type": """
+            SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "orders_monthly": """
+            SELECT CAST(YEAR(o_orderdate) * 100 + MONTH(o_orderdate) AS BIGINT) AS ym,
+                   COUNT(*) AS n_orders,
+                   ROUND(SUM(o_totalprice), 2) AS total_price
+            FROM orders GROUP BY ym ORDER BY ym
         """,
         "revenue_by_priority": """
             WITH per_order AS (

@@ -214,7 +214,34 @@ def bench_queries() -> dict:
         t0 = time.time()
         fn(SF_DIR)
         out[name] = round(time.time() - t0, 3)
+    out["ann_200k"] = bench_ann_scale()
     return out
+
+
+def bench_ann_scale(n: int = 200_000, dim: int = 64) -> float:
+    """Vector-scale ANN probe (the sf0.1 embeddings table is only 2k
+    rows): exact cosine top-10 for 8 queries over ``n`` vectors generated
+    distributed + deterministically (seeded per block) — exercises the
+    broadcast-query / per-batch-top-k-combiner plan at real width."""
+    import numpy as np
+    import ray.data
+
+    from crawler_uni_ray.functions.similarity import ann_bruteforce
+
+    def _gen(b):
+        ids = b["id"].astype(np.int64)
+        rng = np.random.default_rng(int(ids[0]) + 12345)
+        return {
+            "vec_id": ids,
+            "embedding": rng.standard_normal((len(ids), dim)).astype(np.float32),
+        }
+
+    ds = ray.data.range(n, override_num_blocks=64).map_batches(_gen, batch_size=8192)
+    q = np.random.default_rng(7).standard_normal((8, dim)).astype(np.float32)
+    t0 = time.time()
+    res = ann_bruteforce(ds, q, list(range(8)), k=10)
+    assert len(res) == 80, len(res)
+    return round(time.time() - t0, 3)
 
 
 def _init_ray():

@@ -740,3 +740,55 @@ def revenue_by_priority(sf_dir: str) -> pd.DataFrame:
         out[["o_orderpriority", "n_orders", "total_revenue"]]
         .sort_values("o_orderpriority").reset_index(drop=True)
     )
+
+
+def events_distinct_users_by_type(sf_dir: str) -> pd.DataFrame:
+    """COUNT(DISTINCT ...) done the scale way: per-batch distinct
+    (type, user) pairs first (combiner — the shuffle moves pairs, not
+    events), exact pair dedup via one groupby, then a tiny per-type
+    count."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def _pairs(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {"event_type": t["event_type"].to_pylist(), "user_id": t["user_id"].to_numpy()}
+        )
+        return from_pandas_clean(df.drop_duplicates())
+
+    out = (
+        ds.map_batches(_pairs, batch_format="pyarrow")
+        .groupby(["event_type", "user_id"])
+        .aggregate(Count(alias_name="__n"))
+        .map_batches(lambda t: t.replace_schema_metadata(None), batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n_users"))
+        .to_pandas()
+    )
+    out["n_users"] = out["n_users"].astype("int64")
+    return out[["event_type", "n_users"]].sort_values("event_type").reset_index(drop=True)
+
+
+def orders_monthly(sf_dir: str) -> pd.DataFrame:
+    """Calendar-month rollup (time-series aggregate): vectorized Arrow
+    temporal kernels per batch, then a tiny grouped sum."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def _month(t: pa.Table) -> pa.Table:
+        y = pc.year(t["o_orderdate"])
+        m = pc.month(t["o_orderdate"])
+        ym = pc.add(pc.multiply(pc.cast(y, pa.int64()), 100), pc.cast(m, pa.int64()))
+        return pa.table({"ym": ym, "o_totalprice": t["o_totalprice"]})
+
+    out = (
+        ds.map_batches(_month, batch_format="pyarrow")
+        .groupby("ym")
+        .aggregate(Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="total_price"))
+        .to_pandas()
+    )
+    out["total_price"] = out["total_price"].round(2)
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return out[["ym", "n_orders", "total_price"]].sort_values("ym").reset_index(drop=True)

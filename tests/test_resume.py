@@ -81,3 +81,31 @@ def test_resume_distributed_path(ray_session, tiny_corpus, tmp_path):
     resumed = CrawlEngine(CrawlConfig(**kw))
     resumed.resume()
     assert resumed.visited_depth() == oracle.visited_depth
+
+
+def test_results_stream_consumption(ray_session, tmp_path):
+    """Streaming consumption of the crawl results table: iterate Arrow
+    batches straight off the per-level parquet (no materialize / take_all)
+    — the pattern a downstream training-data loader would use."""
+    from crawler_uni_ray.corpus import TINY, build_pages_table
+    from crawler_uni_ray.pipelines.crawl import CrawlConfig, CrawlEngine
+
+    tbl = build_pages_table(TINY)
+    corpus = dict(zip(tbl["url"].to_pylist(), tbl["html"].to_pylist()))
+    cfg = CrawlConfig(
+        domain="example.com",
+        ckpt_dir=str(tmp_path / "ckpt"),
+        corpus_dict=corpus,
+        fetch_mode="broadcast",
+        small_level_rows=0,  # force the distributed (fused) path
+    )
+    eng = CrawlEngine(cfg)
+    eng.run()
+    n_scheduled = sum(m.n_scheduled for m in eng.metrics)
+    total, saw_text = 0, False
+    for batch in eng.results_dataset().iter_batches(
+        batch_size=16, batch_format="pyarrow"
+    ):
+        total += batch.num_rows
+        saw_text = saw_text or "text" in batch.column_names
+    assert total == n_scheduled and saw_text
