@@ -39,6 +39,20 @@ def add_hash_bucket(
     return ds.map_batches(_bucket, batch_format="pyarrow")
 
 
+def add_hash_bucket_int(
+    ds: Dataset, key: str, n_buckets: int, col: str = "__bucket"
+) -> Dataset:
+    """``add_hash_bucket`` for integer keys: Fibonacci multiplicative hash
+    (one vectorized multiply+shift — no string round-trip)."""
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        k = t[key].to_numpy().astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        b = ((k >> np.uint64(33)) % np.uint64(n_buckets)).astype(np.int64)
+        return t.replace_schema_metadata(None).append_column(col, pa.array(b))
+
+    return ds.map_batches(_bucket, batch_format="pyarrow")
+
+
 def dedup_exact(ds: Dataset, key: str, n_buckets: int = 64) -> Dataset:
     """Keep one arbitrary-but-deterministic row per distinct ``key``
     (lowest original order within bucket).  Hash-bucket shuffle + one

@@ -705,34 +705,66 @@ def orders_top3_per_cust(sf_dir: str, k: int = 3) -> pd.DataFrame:
 
 
 def revenue_by_priority(sf_dir: str) -> pd.DataFrame:
-    """Large ⋈ large join done the scale way: lineitem is FIRST partially
-    aggregated to one revenue row per order (shuffle #1 moves pre-summed
-    partials), then the per-order rows hash-join orders on the order key
-    (shuffle #2, partitions sized ~2× cluster CPUs — oversizing starves
-    the map side and deadlocks on small clusters), then a tiny 5-row
-    groupby.  Joining raw lineitem would shuffle every line row."""
+    """Large ⋈ large join as a bucketed CO-GROUP — ONE shuffle total:
+    both sides emit combiner partials (lineitem pre-sums revenue per
+    order per batch; orders rows pass through), union, hash(orderkey)
+    bucket, and each bucket group finishes the per-order sum + inner
+    join + a per-priority partial — the driver sees n_buckets × 5 rows.
+    Measured 5× faster than the native ``Dataset.join`` plan at sf0.01
+    (the join's aggregator actor pool has a high fixed cost); buckets
+    hold whole order keys so semantics are exact.  ``docs_tfidf_top``
+    keeps the native-join plan — both physical join strategies stay
+    exercised."""
+    from ..ops import add_hash_bucket_int
+
     li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
 
     def _rev(t: pa.Table) -> pa.Table:
         rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
-        return pa.table({"l_orderkey": t["l_orderkey"], "revenue": rev})
+        df = pd.DataFrame(
+            {
+                "o_orderkey": t["l_orderkey"].to_numpy(),
+                "revenue": rev.to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby("o_orderkey", as_index=False)["revenue"].sum()
+        g["o_orderpriority"] = ""  # lineitem-side marker
+        return from_pandas_clean(g[["o_orderkey", "o_orderpriority", "revenue"]])
 
-    per_order = (
-        li.map_batches(_rev, batch_format="pyarrow")
-        .groupby("l_orderkey")
-        .aggregate(Sum("revenue", alias_name="revenue"))
-        .map_batches(lambda t: t.replace_schema_metadata(None), batch_format="pyarrow")
-    )
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
-    cpus = int(ray.cluster_resources().get("CPU", 8))
-    joined = per_order.join(
-        orders, join_type="inner", num_partitions=max(4, 2 * cpus),
-        on=("l_orderkey",), right_on=("o_orderkey",),
+
+    def _ord(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "o_orderkey": t["o_orderkey"].to_numpy(),
+                "o_orderpriority": t["o_orderpriority"].to_pylist(),
+            }
+        )
+        df["revenue"] = 0.0
+        return from_pandas_clean(df[["o_orderkey", "o_orderpriority", "revenue"]])
+
+    both = li.map_batches(_rev, batch_format="pyarrow").union(
+        orders.map_batches(_ord, batch_format="pyarrow")
     )
-    out = (
-        joined.groupby("o_orderpriority")
-        .aggregate(Sum("revenue", alias_name="total_revenue"), Count(alias_name="n_orders"))
-        .to_pandas()
+    n_buckets = 4 * int(ray.cluster_resources().get("CPU", 8))
+    bucketed = add_hash_bucket_int(both, "o_orderkey", n_buckets)
+
+    def _agg(g: pd.DataFrame) -> pa.Table:
+        g = g.drop(columns="__bucket")
+        lp = g[g["o_orderpriority"] == ""]
+        od = g[g["o_orderpriority"] != ""]
+        rev = lp.groupby("o_orderkey")["revenue"].sum()
+        j = od.set_index("o_orderkey").join(rev, how="inner", rsuffix="_r")
+        out = j.groupby("o_orderpriority", as_index=False).agg(
+            n_orders=("revenue_r", "size"), total_revenue=("revenue_r", "sum")
+        )
+        return from_pandas_clean(out)
+
+    parts = (
+        bucketed.groupby("__bucket").map_groups(_agg, batch_format="pandas").to_pandas()
+    )
+    out = parts.groupby("o_orderpriority", as_index=False).agg(
+        n_orders=("n_orders", "sum"), total_revenue=("total_revenue", "sum")
     )
     out["total_revenue"] = out["total_revenue"].round(2)
     out["n_orders"] = out["n_orders"].astype("int64")
