@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_top3_per_cust": q.orders_top3_per_cust,
         "revenue_by_priority": q.revenue_by_priority,
         "events_distinct_users_by_type": q.events_distinct_users_by_type,
+        "events_users_approx": q.events_users_approx,
         "orders_monthly": q.orders_monthly,
         # dedup suite
         "docs_dedup_exact": q.docs_dedup_exact,
@@ -90,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_fingerprint": q.docs_fingerprint,
         "docs_pii_redact": q.docs_pii_redact,
         "docs_repetition": q.docs_repetition,
+        "docs_normalize": q.docs_normalize,
         # similarity search
         "embeddings_ann": q.embeddings_ann,
         "embeddings_ann_lsh": q.embeddings_ann_lsh,
@@ -367,6 +369,12 @@ def oracle_sql() -> dict[str, str]:
                           END AS DOUBLE) / GREATEST(n_tokens_w - 1, 1)
                           * 1000000 + 0.5)/1000000 AS top_bigram_frac
             FROM big ORDER BY doc_id
+        """,
+        "docs_normalize": r"""
+            SELECT doc_id,
+                   TRIM(REGEXP_REPLACE(REGEXP_REPLACE(NFC_NORMALIZE(LOWER(text)),
+                        '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS text_norm
+            FROM documents ORDER BY doc_id
         """,
         "orders_top3_per_cust": """
             SELECT o_custkey, o_orderkey, o_totalprice FROM (

@@ -388,3 +388,29 @@ def add_repetition_stats(ds: Dataset, id_col: str = "doc_id",
         return pd.concat([df[[id_col]], stats], axis=1)
 
     return ds.map_batches(_f, batch_format="pandas")
+
+
+# ---------------------------------------------------------- normalization
+
+
+def normalize_text_array(arr):
+    """Training-data text normalization: lowercase → NFC → strip
+    non-alphanumerics → collapse whitespace → trim.  Pure Arrow RE2/utf8
+    kernels (same dialect as the DuckDB oracle), zero per-row Python."""
+    import pyarrow.compute as pc
+
+    a = pc.utf8_lower(arr)
+    a = pc.utf8_normalize(a, form="NFC")
+    a = pc.replace_substring_regex(a, pattern=r"[^a-z0-9\s]", replacement=" ")
+    a = pc.replace_substring_regex(a, pattern=r"\s+", replacement=" ")
+    return pc.utf8_trim_whitespace(a)
+
+
+def add_text_normalized(ds: Dataset, text_col: str = "text",
+                        out_col: str = "text_norm") -> Dataset:
+    import pyarrow as pa
+
+    def _f(t: pa.Table) -> pa.Table:
+        return t.append_column(out_col, normalize_text_array(t[text_col]))
+
+    return ds.map_batches(_f, batch_format="pyarrow")

@@ -302,6 +302,15 @@ class CrawlEngine:
     )
 
     def __init__(self, config: CrawlConfig):
+        # The fused level is one long operator DAG (~10 operators); Ray
+        # Data's default per-operator resource reservation splits the
+        # cluster budget across ALL of them and starves the heavyweight
+        # extract operator on small clusters (measured: a 100k-URL level
+        # at 8 CPUs ran 250 s reserved vs 89 s unreserved — extract got
+        # ~2 concurrent tasks out of 8).  The level's per-operator
+        # outputs are bounded (combiner partials, projected slim rows),
+        # so reservation-free scheduling cannot livelock here.
+        ray.data.DataContext.get_current().op_resource_reservation_enabled = False
         self.cfg = config
         self.metrics: list[LevelMetrics] = []
         self.seen = ShardedSeen(
@@ -507,6 +516,10 @@ class CrawlEngine:
 
         _t0 = _time.time()
         cfg = self.cfg
+        # datasets SNAPSHOT the DataContext at creation — a frontier built
+        # before this engine (bench/driver code) carries reservation=True,
+        # so override on the instance (derived datasets inherit it)
+        frontier.context.op_resource_reservation_enabled = False
         candidates = seen_filter(frontier, self.seen)
         if self._robots_ref is not None:
             candidates = robots_filter(candidates, self._robots_ref)

@@ -597,7 +597,9 @@ def media_frame_samples(sf_dir: str) -> pd.DataFrame:
     """Multimodal frame-sampling demo: actor-pool frame extraction over
     audio/video rows (decode stubbed; plumbing real — one row per sampled
     frame with a scalar feature digest)."""
-    ds = ray.data.from_arrow(fmedia.synthetic_media_table(96))
+    tbl = fmedia.synthetic_media_table(96)
+    # split into multiple blocks so the 2-actor pool actually gets 2
+    ds = ray.data.from_arrow([tbl.slice(0, 48), tbl.slice(48)])
     av = ds.map_batches(
         lambda t: t.filter(pc.not_equal(t["kind"], "image")), batch_format="pyarrow"
     )
@@ -612,7 +614,9 @@ def media_frame_samples(sf_dir: str) -> pd.DataFrame:
 def media_image_features(sf_dir: str) -> pd.DataFrame:
     """Multimodal plumbing demo: actor-pool feature extraction over the
     deterministic fake media corpus (decode stubbed — see multimodal.py)."""
-    ds = ray.data.from_arrow(fmedia.synthetic_media_table(96))
+    tbl = fmedia.synthetic_media_table(96)
+    # split into multiple blocks so the 2-actor pool actually gets 2
+    ds = ray.data.from_arrow([tbl.slice(0, 48), tbl.slice(48)])
     imgs = ds.map_batches(
         lambda t: t.filter(pc.equal(t["kind"], "image")), batch_format="pyarrow"
     )
@@ -824,3 +828,25 @@ def orders_monthly(sf_dir: str) -> pd.DataFrame:
     out["total_price"] = out["total_price"].round(2)
     out["n_orders"] = out["n_orders"].astype("int64")
     return out[["ym", "n_orders", "total_price"]].sort_values("ym").reset_index(drop=True)
+
+
+def docs_normalize(sf_dir: str) -> pd.DataFrame:
+    """Text normalization pass (lowercase → NFC → punct strip → whitespace
+    collapse): per-batch Arrow kernels, no shuffle, streams."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ftext.add_text_normalized(ds).select_columns(["doc_id", "text_norm"]).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def events_users_approx(sf_dir: str) -> pd.DataFrame:
+    """Approximate COUNT(DISTINCT user_id) per event type via a mergeable
+    HyperLogLog sketch (functions/sketch.py): per-batch register partials
+    → one groupby merge — collect volume is n_blocks × 4 KB regardless of
+    input size.  Approximate by construction → rows-only driver check;
+    tests bound the error against the exact count."""
+    from ..functions.sketch import approx_distinct_by
+
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    out = approx_distinct_by(ds, "event_type", "user_id")
+    out["n_approx"] = out["n_approx"].round(1)
+    return out

@@ -336,3 +336,40 @@ def test_repetition_stats_batch():
     assert out["dup_word_ratio"][3] == 0.0 and out["top_bigram_frac"][3] == 0.0
     # distinct-token ratio for alternation: 1 - 2/5
     assert out["dup_word_ratio"][1] == 0.6
+
+
+def test_hll_error_bound_and_merge():
+    from crawler_uni_ray.functions.sketch import (
+        hll_estimate,
+        hll_merge,
+        hll_register_batch,
+    )
+
+    rng = np.random.default_rng(0)
+    for true_n in (100, 5000, 200_000):
+        vals = np.unique(rng.integers(0, 10**12, true_n))
+        parts = np.array_split(np.concatenate([vals, vals[: len(vals) // 2]]), 7)
+        est = hll_estimate(hll_merge([hll_register_batch(p) for p in parts]))
+        assert abs(est - len(vals)) / len(vals) < 0.05
+    # string keys route through the siphash
+    est = hll_estimate(hll_register_batch(np.array([f"u{i}" for i in range(3000)], dtype=object)))
+    assert abs(est - 3000) / 3000 < 0.05
+    # merge == union semantics: disjoint halves vs whole
+    a, b = np.arange(0, 4000), np.arange(4000, 8000)
+    merged = hll_merge([hll_register_batch(a), hll_register_batch(b)])
+    whole = hll_register_batch(np.arange(0, 8000))
+    assert np.array_equal(merged, whole)
+
+
+def test_approx_distinct_by_matches_exact_within_tolerance(ray_session):
+    import ray.data
+
+    from crawler_uni_ray.functions.sketch import approx_distinct_by
+
+    df = pd.read_parquet("/root/testdata/sf0.001/events.parquet", columns=["event_type", "user_id"])
+    exact = df.groupby("event_type")["user_id"].nunique()
+    ds = ray.data.from_pandas(df)
+    out = approx_distinct_by(ds, "event_type", "user_id").set_index("event_type")
+    for k, n in exact.items():
+        rel = abs(out.loc[k, "n_approx"] - n) / max(n, 1)
+        assert rel < 0.05, (k, n, out.loc[k, "n_approx"])

@@ -60,6 +60,7 @@ def test_sql_backed_query_matches_oracle(ray_session, name):
 
 
 ROWS_ONLY = [
+    "events_users_approx",
     "docs_langid",
     "docs_quality",
     "docs_token_counts",
