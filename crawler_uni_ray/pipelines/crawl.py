@@ -105,6 +105,12 @@ class CrawlConfig:
     driver_fetch_rows: int = 2000  # broadcast-mode only: fetch+extract tiny
     # levels on the driver (same pure kernels; 0 = never)
     level_read_blocks: int = 64  # coalesce frontier files into ~this many blocks
+    # dynamic-block-split target: extract is the dominant compute and the
+    # fetch groups emit one ~128 MB html block per corpus partition → one
+    # 60+ s extract task each (straggler-bound at high CPU counts); 32 MB
+    # splits each into ~4 tasks (A/B: ~25% faster level at 32 CPUs,
+    # neutral at 8)
+    target_block_size_mb: int = 32
     verbose: bool = False  # print one progress line as each level commits
 
 
@@ -310,7 +316,9 @@ class CrawlEngine:
         # ~2 concurrent tasks out of 8).  The level's per-operator
         # outputs are bounded (combiner partials, projected slim rows),
         # so reservation-free scheduling cannot livelock here.
-        ray.data.DataContext.get_current().op_resource_reservation_enabled = False
+        ctx = ray.data.DataContext.get_current()
+        ctx.op_resource_reservation_enabled = False
+        ctx.target_max_block_size = config.target_block_size_mb * 1024 * 1024
         self.cfg = config
         self.metrics: list[LevelMetrics] = []
         self.seen = ShardedSeen(
@@ -517,9 +525,10 @@ class CrawlEngine:
         _t0 = _time.time()
         cfg = self.cfg
         # datasets SNAPSHOT the DataContext at creation — a frontier built
-        # before this engine (bench/driver code) carries reservation=True,
-        # so override on the instance (derived datasets inherit it)
+        # before this engine (bench/driver code) carries the defaults, so
+        # override on the instance (derived datasets inherit it)
         frontier.context.op_resource_reservation_enabled = False
+        frontier.context.target_max_block_size = cfg.target_block_size_mb * 1024 * 1024
         candidates = seen_filter(frontier, self.seen)
         if self._robots_ref is not None:
             candidates = robots_filter(candidates, self._robots_ref)
