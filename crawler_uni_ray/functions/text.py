@@ -251,44 +251,50 @@ def tfidf_top_terms(
     k: int = 5,
     n_buckets: int = 64,
 ) -> pd.DataFrame:
-    """Per-document top-k terms by tf·idf, two-shuffle plan: tf rows join
-    document frequencies on ``term`` (native hash join), then a
-    hash(doc)-bucketed shuffle does the per-doc top-k — each bucket holds
-    whole documents, parallelism scales with ``n_buckets``, never 1 task
-    per doc and never a global sort.  idf is the LINEAR variant N/df
-    (one IEEE divide + one multiply, bit-identical between numpy and the
-    SQL oracle — ln() would be libm-dependent).  Ties broken by term asc."""
-    from ray.data.aggregate import Count
+    """Per-document top-k terms by tf·idf, two-shuffle plan with NO join:
+    tf rows ``(doc_id, term, tf)`` shuffle once on ``hash(term)`` — a
+    bucket holds *all* rows of its terms, and tf rows are
+    (doc_id, term)-unique, so ``df(term)`` = the group's per-term row
+    count, exact, computed in place; idf attaches with zero join.  The
+    second shuffle is the hash(doc)-bucketed per-doc top-k — buckets
+    hold whole documents, parallelism scales with ``n_buckets``, never
+    1 task per doc and never a global sort.  idf is the LINEAR variant
+    N/df (one IEEE divide + one multiply, bit-identical between numpy
+    and the SQL oracle — ln() would be libm-dependent).  Ties broken by
+    term asc.
 
+    This replaces round 2's native ``Dataset.join(tf, dfreq)``: with
+    ``num_partitions`` above the vocabulary size (e.g. 64 partitions vs
+    ~31 distinct terms at 32 CPUs) most right-side hash partitions were
+    empty schema-less blocks and pyarrow's acero join raised
+    ``ArrowInvalid`` — the co-group has no empty-partition failure mode
+    (empty buckets simply produce no group) and one fewer shuffle."""
     from ..ops import add_hash_bucket
-
-    import ray
+    from ..util import from_pandas_clean
 
     tf = doc_term_freqs(ds, id_col, text_col)
-    # strip pandas-origin metadata the aggregate leaves on its blocks —
-    # unhashable schema metadata defeats the join's schema dedup
-    dfreq = (
-        tf.groupby("term")
-        .aggregate(Count(alias_name="df"))
-        .map_batches(lambda t: t.replace_schema_metadata(None), batch_format="pyarrow")
-    )
     n_docs = float(ds.count())
-    # join partitions sized to the cluster: each hash-shuffle aggregator
-    # reserves a CPU fraction, so n_buckets partitions on a small cluster
-    # starves the map side and deadlocks (observed at num_cpus=4)
-    cpus = int(ray.cluster_resources().get("CPU", 8))
-    n_join = max(4, min(n_buckets, 2 * cpus))
-    joined = tf.join(dfreq, join_type="inner", num_partitions=n_join, on=("term",))
+    by_term = add_hash_bucket(tf, "term", n_buckets)
 
-    def _score(t):
-        import pyarrow as pa
-
-        idf = n_docs / t["df"].to_numpy().astype(np.float64)
-        score = t["tf"].to_numpy().astype(np.float64) * idf
-        return t.append_column("tf_idf", pa.array(score, pa.float64()))
+    def _score(g: pd.DataFrame):
+        dfreq = g.groupby("term", sort=False)["term"].transform("size")
+        score = g["tf"].to_numpy(dtype=np.float64) * (
+            n_docs / dfreq.to_numpy(dtype=np.float64)
+        )
+        return from_pandas_clean(
+            pd.DataFrame(
+                {
+                    id_col: g[id_col].to_numpy(),
+                    "term": g["term"].to_numpy(),
+                    "tf_idf": score,
+                }
+            )
+        )
 
     scored = add_hash_bucket(
-        joined.map_batches(_score, batch_format="pyarrow"), id_col, n_buckets
+        by_term.groupby("__bucket").map_groups(_score, batch_format="pandas"),
+        id_col,
+        n_buckets,
     )
 
     def _topk(g: pd.DataFrame) -> pd.DataFrame:

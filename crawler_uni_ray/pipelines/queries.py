@@ -396,9 +396,9 @@ def docs_chars_quantiles(sf_dir: str) -> pd.DataFrame:
 
 
 def docs_tfidf_top(sf_dir: str, k: int = 5) -> pd.DataFrame:
-    """Per-doc top-k tf·idf terms: tf ⋈ df on term (native hash join) +
-    hash(doc)-bucketed per-doc top-k — the two-shuffle plan; no global
-    sort, no vocabulary on the driver."""
+    """Per-doc top-k tf·idf terms: hash(term)-bucketed co-group computes
+    df in place (no join), then a hash(doc)-bucketed per-doc top-k — the
+    two-shuffle plan; no global sort, no vocabulary on the driver."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     return ftext.tfidf_top_terms(ds, k=k)
 
@@ -716,9 +716,10 @@ def revenue_by_priority(sf_dir: str) -> pd.DataFrame:
     join + a per-priority partial — the driver sees n_buckets × 5 rows.
     Measured 5× faster than the native ``Dataset.join`` plan at sf0.01
     (the join's aggregator actor pool has a high fixed cost); buckets
-    hold whole order keys so semantics are exact.  ``docs_tfidf_top``
-    keeps the native-join plan — both physical join strategies stay
-    exercised."""
+    hold whole order keys so semantics are exact.  (``docs_tfidf_top``
+    moved to this plan too in round 3 after the native join's
+    empty-partition ArrowInvalid at 32 CPUs; the native join remains
+    exercised by ``stages/fetch.py`` ``fetch_mode="join"``.)"""
     from ..ops import add_hash_bucket_int
 
     li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])

@@ -85,6 +85,27 @@ def test_rows_only_queries_run_and_are_deterministic(ray_session, name):
     pd.testing.assert_frame_equal(_norm(a), _norm(b), check_dtype=False)
 
 
+def test_tfidf_partition_count_above_vocab_regression(ray_session):
+    """Round-2 regression: the old native-join tfidf plan raised
+    ArrowInvalid whenever the join partition count exceeded the distinct
+    term count (empty schema-less right-side partitions — exactly the
+    32-CPU driver config, which crashed the whole round-2 bench).  The
+    co-group plan must be exact with n_buckets far above the vocabulary
+    (~31 terms at this sf): empty buckets simply produce no group."""
+    import ray.data
+
+    from crawler_uni_ray.functions.text import tfidf_top_terms
+
+    ds = ray.data.read_parquet(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+    )
+    hi = tfidf_top_terms(ds, k=5, n_buckets=256)
+    duck = _duck(entrymod.oracle_sql()["docs_tfidf_top"])
+    pd.testing.assert_frame_equal(
+        _norm(hi), _norm(duck), check_dtype=False, atol=1e-6
+    )
+
+
 def test_entry_smoke(ray_session):
     ds = entrymod.entry()
     df = ds.to_pandas() if not isinstance(ds, pd.DataFrame) else ds
