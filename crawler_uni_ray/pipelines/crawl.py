@@ -764,10 +764,53 @@ class CrawlEngine:
         for d in list(os.listdir(self.cfg.ckpt_dir)):
             if d.startswith("level_") and int(d.split("_")[1]) > last:
                 shutil.rmtree(os.path.join(self.cfg.ckpt_dir, d), ignore_errors=True)
-        for k in done:
-            for f in _parquet_files(self._lvl(k, "results")):
-                self.seen.add(pq.read_table(f, columns=["url"])["url"].to_pylist())
+        self._replay_seen(done)
         return self._loop(last + 1)
+
+    def _replay_seen(self, levels: list[int]) -> None:
+        """Rebuild the seen-set from committed ``results`` urls.  The total
+        row count comes from the manifests' per-partition lineage (no
+        parquet touch).  Small resumes replay driver-side; past
+        ``small_level_rows`` the replay is a distributed ``map_batches``
+        over the results url column — every task routes its batch straight
+        to the seen shards, so rebuild cost scales with the cluster instead
+        of one driver process iterating 10^10 rows (the adds are idempotent
+        and commutative, so block order is free).  Records the path taken
+        in ``self.seen_replay_path`` for tests/metrics."""
+        files, total = [], 0
+        for k in levels:
+            files.extend(_parquet_files(self._lvl(k, "results")))
+            try:
+                with open(self._lvl(k, "manifest.json")) as f:
+                    man = json.load(f)
+                total += sum(p["rows"] for p in man["partitions"]["results"])
+            except (OSError, KeyError, json.JSONDecodeError):
+                total += sum(pq.ParquetFile(f).metadata.num_rows
+                             for f in _parquet_files(self._lvl(k, "results")))
+        if not files:
+            self.seen_replay_path = "empty"
+            return
+        if total <= self.cfg.small_level_rows:
+            self.seen_replay_path = "driver"
+            for f in files:
+                self.seen.add(pq.read_table(f, columns=["url"])["url"].to_pylist())
+            return
+        self.seen_replay_path = "distributed"
+        seen = self.seen
+
+        def _add(t: pa.Table) -> pa.Table:
+            seen.add(t["url"].to_pylist())
+            return pa.table({"n": pa.array([t.num_rows], pa.int64())})
+
+        replayed = (
+            ray.data.read_parquet(files, columns=["url"])
+            .map_batches(_add, batch_format="pyarrow", batch_size=8192)
+            .sum("n")
+        )
+        if (replayed or 0) != total:
+            raise RuntimeError(
+                f"seen replay incomplete: {replayed} of {total} result urls"
+            )
 
     def _loop(self, start: int, seed_tbl: pa.Table | None = None) -> list[LevelMetrics]:
         cfg = self.cfg
