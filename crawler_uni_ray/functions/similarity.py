@@ -73,21 +73,32 @@ def ann_bruteforce(
     return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "cosine", "rank"])
 
 
+def derive_sample_mod(n_rows: int, max_sample_rows: int = 100_000) -> int:
+    """Smallest ``mod`` such that ~``n_rows / mod`` ≤ ``max_sample_rows`` —
+    the enforced bound on what k-means may collect to the driver."""
+    return max(1, -(-int(n_rows) // int(max_sample_rows)))
+
+
 def kmeans_centroids(
     ds: Dataset,
     n_centroids: int = 16,
     n_iters: int = 10,
     seed: int = 7,
-    sample_mod: int = 1,
+    sample_mod: int | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    max_sample_rows: int = 100_000,
 ) -> np.ndarray:
     """Spherical k-means over a bounded deterministic sample (rows with
     ``id % sample_mod == 0``) — the IVF coarse quantizer.  The sample is
-    collected once to the driver (size the mod so it stays ≤ ~100k rows at
-    any corpus scale); Lloyd iterations run driver-side on that sample.
-    Deterministic: seeded init, stable assignment tie-break (argmax takes
-    the lowest index)."""
+    collected once to the driver; Lloyd iterations run driver-side on it.
+    ``sample_mod=None`` (default) derives the mod from ``ds.count()`` so
+    the collected sample stays ≤ ``max_sample_rows`` at ANY corpus scale —
+    the bound is enforced in code, not left to the caller (round 2's
+    default collected the entire table).  Deterministic: seeded init,
+    stable assignment tie-break (argmax takes the lowest index)."""
+    if sample_mod is None:
+        sample_mod = derive_sample_mod(ds.count(), max_sample_rows)
     sampled = ds.select_columns([id_col, vec_col])
     if sample_mod > 1:
 
@@ -96,6 +107,8 @@ def kmeans_centroids(
 
         sampled = sampled.map_batches(_keep, batch_format="pandas")
     rows = sampled.to_pandas()
+    # introspection hook for tests: prove the driver collect stayed bounded
+    kmeans_centroids.last_sample_rows = len(rows)
     mat = _normalize(_as_matrix(rows.sort_values(id_col)[vec_col].to_numpy()))
     rng = np.random.RandomState(seed)
     cent = mat[rng.choice(len(mat), size=min(n_centroids, len(mat)), replace=False)]
@@ -132,35 +145,27 @@ def build_ivf_index(
     return ds.map_batches(_assign, batch_format="pandas")
 
 
-def ann_ivf(
-    ds: Dataset,
-    queries: np.ndarray,
-    query_ids: list[int],
-    k: int = 10,
-    n_centroids: int = 16,
-    nprobe: int = 4,
-    n_iters: int = 10,
-    seed: int = 7,
-    sample_mod: int = 1,
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
-) -> pd.DataFrame:
-    """IVF approximate top-k: k-means coarse quantizer → per-vector list
-    assignment → each query scans only its ``nprobe`` nearest lists.
-    ``nprobe == n_centroids`` degrades to exact brute force (the
-    equivalence test hook).  Same per-batch top-k combiner as
-    ``ann_bruteforce``: the driver merge is bounded by
-    n_batches × n_queries × k rows regardless of corpus size."""
-    cent = kmeans_centroids(
-        ds, n_centroids=n_centroids, n_iters=n_iters, seed=seed,
-        sample_mod=sample_mod, vec_col=vec_col, id_col=id_col,
+def _probe_order(cent: np.ndarray, qmat: np.ndarray, nprobe: int) -> np.ndarray:
+    """Per-query probe lists: the ``nprobe`` nearest centroids."""
+    return np.argsort(-(qmat @ cent.T), axis=1, kind="stable")[:, :nprobe].astype(
+        np.int64
     )
-    indexed = build_ivf_index(ds, cent, vec_col=vec_col, id_col=id_col)
-    qmat = _normalize(np.asarray(queries, dtype=np.float32))
-    nprobe = min(nprobe, len(cent))
-    # per-query probe lists: the nprobe nearest centroids
-    order = np.argsort(-(qmat @ cent.T), axis=1, kind="stable")[:, :nprobe]
-    pref = ray.put((qmat, order.astype(np.int64)))
+
+
+def _ivf_search(
+    indexed: Dataset,
+    order: np.ndarray,
+    qmat: np.ndarray,
+    query_ids: list[int],
+    k: int,
+    vec_col: str,
+    id_col: str,
+) -> pd.DataFrame:
+    """Probe-filtered scan over an ``ivf_list``-tagged dataset with the
+    bounded per-batch top-k combiner (driver merge ≤ n_batches × n_queries
+    × k rows).  Shared by the in-memory and persisted-index paths so their
+    results are identical by construction."""
+    pref = ray.put((qmat, order))
 
     def _partial(df: pd.DataFrame) -> pd.DataFrame:
         qm, probes = cached_get(pref)
@@ -196,6 +201,124 @@ def ann_ivf(
                 (int(qid), int(r.neighbor_id), round(float(r.cosine), 6), rank + 1)
             )
     return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "cosine", "rank"])
+
+
+def ann_ivf(
+    ds: Dataset,
+    queries: np.ndarray,
+    query_ids: list[int],
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    n_iters: int = 10,
+    seed: int = 7,
+    sample_mod: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> pd.DataFrame:
+    """IVF approximate top-k: k-means coarse quantizer → per-vector list
+    assignment → each query scans only its ``nprobe`` nearest lists.
+    ``nprobe == n_centroids`` degrades to exact brute force (the
+    equivalence test hook).  This path rebuilds the index per call and
+    scans every batch (probes prune compute, not I/O) — use
+    ``write_ivf_index`` + ``ann_ivf_persisted`` when the index is reused:
+    that path's I/O is proportional to the probed lists."""
+    cent = kmeans_centroids(
+        ds, n_centroids=n_centroids, n_iters=n_iters, seed=seed,
+        sample_mod=sample_mod, vec_col=vec_col, id_col=id_col,
+    )
+    indexed = build_ivf_index(ds, cent, vec_col=vec_col, id_col=id_col)
+    qmat = _normalize(np.asarray(queries, dtype=np.float32))
+    order = _probe_order(cent, qmat, min(nprobe, len(cent)))
+    return _ivf_search(indexed, order, qmat, query_ids, k, vec_col, id_col)
+
+
+def write_ivf_index(
+    ds: Dataset,
+    index_dir: str,
+    n_centroids: int = 16,
+    n_iters: int = 10,
+    seed: int = 7,
+    sample_mod: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """Build and PERSIST the IVF index once: ``centroids.npy`` (tiny,
+    driver-side) plus the normalized vector assignment written as parquet
+    partitioned by list id (``lists/ivf_list=<i>/``).  Queries served via
+    :func:`ann_ivf_persisted` then read only their probed lists' files —
+    I/O ∝ probed lists, the same file-pruning discipline as the corpus
+    fetch (stages/fetch.py ``_PartitionIndex``).  At 100 TB the build is
+    one pass over the corpus; every subsequent query touches ~nprobe/
+    n_centroids of the index."""
+    import os
+
+    cent = kmeans_centroids(
+        ds, n_centroids=n_centroids, n_iters=n_iters, seed=seed,
+        sample_mod=sample_mod, vec_col=vec_col, id_col=id_col,
+    )
+    indexed = build_ivf_index(ds, cent, vec_col=vec_col, id_col=id_col)
+    os.makedirs(index_dir, exist_ok=True)
+    indexed.write_parquet(
+        os.path.join(index_dir, "lists"), partition_cols=["ivf_list"]
+    )
+    np.save(os.path.join(index_dir, "centroids.npy"), cent)
+    return cent
+
+
+def ann_ivf_persisted(
+    index_dir: str,
+    queries: np.ndarray,
+    query_ids: list[int],
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[pd.DataFrame, dict]:
+    """Query a persisted IVF index (see :func:`write_ivf_index`): load the
+    centroids (tiny), pick each query's ``nprobe`` lists, and read ONLY
+    those lists' parquet files.  The list tag is recomputed per batch from
+    the broadcast centroids (one matmul vs n_centroids — the partition
+    column isn't stored in the files; vectors were persisted normalized so
+    the argmax reproduces the stored assignment exactly).  Returns
+    ``(result, stats)`` with ``stats["rows_read"]`` proving I/O ∝ probed
+    lists.  Results are identical to :func:`ann_ivf` at equal centroids/
+    nprobe by construction (shared ``_ivf_search``)."""
+    import os
+
+    import pyarrow.parquet as _pq
+
+    cent = np.load(os.path.join(index_dir, "centroids.npy"))
+    qmat = _normalize(np.asarray(queries, dtype=np.float32))
+    order = _probe_order(cent, qmat, min(nprobe, len(cent)))
+    probed = sorted({int(x) for x in order.ravel()})
+    files: list[str] = []
+    for p in probed:
+        d = os.path.join(index_dir, "lists", f"ivf_list={p}")
+        if os.path.isdir(d):
+            files += [
+                os.path.join(d, f) for f in sorted(os.listdir(d))
+                if f.endswith(".parquet")
+            ]
+    stats = {
+        "probed_lists": probed,
+        "files_read": len(files),
+        "rows_read": sum(_pq.ParquetFile(f).metadata.num_rows for f in files),
+    }
+    if not files:
+        empty = pd.DataFrame(columns=["query_id", "neighbor_id", "cosine", "rank"])
+        return empty, stats
+    cref = ray.put(np.asarray(cent, dtype=np.float32))
+
+    def _tag(df: pd.DataFrame) -> pd.DataFrame:
+        c = cached_get(cref)
+        mat = _as_matrix(df[vec_col].to_numpy())
+        df = df.copy()
+        df["ivf_list"] = np.argmax(mat @ c.T, axis=1).astype(np.int64)
+        return df
+
+    indexed = ray.data.read_parquet(files).map_batches(_tag, batch_format="pandas")
+    return _ivf_search(indexed, order, qmat, query_ids, k, vec_col, id_col), stats
 
 
 def build_lsh_index(

@@ -277,6 +277,65 @@ def test_ann_ivf_exhaustive_equals_bruteforce(ray_session):
     assert recall >= 0.6, recall
 
 
+def test_ann_ivf_persisted_prunes_io_and_matches(ray_session, tmp_path):
+    """The persisted IVF index serves queries by reading ONLY the probed
+    lists' parquet files: rows_read ≪ index rows at small nprobe, == index
+    rows at nprobe=n_centroids — and results are identical to the
+    in-memory ann_ivf at equal centroids/nprobe (shared search kernel),
+    hence also to brute force when exhaustive."""
+    import ray.data as rd
+
+    from crawler_uni_ray.functions import similarity as fsim
+
+    emb = pd.read_parquet(
+        "/root/testdata/sf0.001/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    q = emb[emb["vec_id"] < 8].sort_values("vec_id")
+    qmat = np.stack(q["embedding"].to_numpy()).astype(np.float64)
+    qids = q["vec_id"].tolist()
+    ds = rd.from_pandas(emb)
+    idx = str(tmp_path / "ivf")
+    fsim.write_ivf_index(ds, idx, n_centroids=8)
+
+    exact = fsim.ann_bruteforce(ds, qmat, qids, k=10)
+    full, full_stats = fsim.ann_ivf_persisted(idx, qmat, qids, k=10, nprobe=8)
+    assert full_stats["rows_read"] == len(emb)  # exhaustive probe reads all
+    pd.testing.assert_frame_equal(
+        full.sort_values(["query_id", "rank"]).reset_index(drop=True),
+        exact.sort_values(["query_id", "rank"]).reset_index(drop=True),
+        check_dtype=False,
+    )
+
+    approx, stats = fsim.ann_ivf_persisted(idx, qmat, qids, k=10, nprobe=2)
+    assert 0 < stats["rows_read"] < len(emb), stats  # I/O ∝ probed lists
+    in_mem = fsim.ann_ivf(ds, qmat, qids, k=10, n_centroids=8, nprobe=2)
+    pd.testing.assert_frame_equal(
+        approx.sort_values(["query_id", "rank"]).reset_index(drop=True),
+        in_mem.sort_values(["query_id", "rank"]).reset_index(drop=True),
+        check_dtype=False,
+    )
+
+
+def test_kmeans_driver_sample_is_capped(ray_session):
+    """sample_mod=None must derive a mod that bounds the driver-side
+    collect (round-2 default materialized the whole table)."""
+    import ray.data as rd
+
+    from crawler_uni_ray.functions import similarity as fsim
+
+    assert fsim.derive_sample_mod(350_000, 100_000) == 4
+    assert fsim.derive_sample_mod(99_999, 100_000) == 1
+
+    rng = np.random.RandomState(3)
+    df = pd.DataFrame(
+        {"vec_id": np.arange(5000), "embedding": list(rng.normal(size=(5000, 8)))}
+    )
+    fsim.kmeans_centroids(
+        rd.from_pandas(df), n_centroids=4, max_sample_rows=1000
+    )
+    assert fsim.kmeans_centroids.last_sample_rows <= 1000
+
+
 def test_top_terms_combiner_matches_counter(ray_session):
     # the distributed partial-count → sum → local-top-k plan must equal a
     # plain Counter over the whole corpus, ties broken by term asc

@@ -327,6 +327,15 @@ def test_pin_media_image_features(ray_session):
     _eq(got, want)
 
 
+def test_pin_embeddings_ann_ivf_persisted(ray_session):
+    """The persisted-index path must return exactly the in-memory IVF
+    rows (same centroids/nprobe; shared search kernel) — so the pinned
+    ``embeddings_ann_ivf`` oracle transitively covers it too."""
+    a = Q.embeddings_ann_ivf_persisted(SF).reset_index(drop=True)
+    b = Q.embeddings_ann_ivf(SF).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
 def test_pin_embeddings_ann_ivf(ray_session):
     """Vendored driver-side IVF recomputation (same seeded k-means, same
     probe order, exact cosine over the probed lists) ≡ the Ray pipeline."""

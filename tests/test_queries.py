@@ -66,6 +66,7 @@ ROWS_ONLY = [
     "docs_token_counts",
     "docs_fingerprint",
     "docs_minhash_clusters",
+    "embeddings_ann_ivf_persisted",
     "docs_simhash",
     "url_canonicalize",
     "media_image_features",
