@@ -114,17 +114,21 @@ def jaccard(text_a: str, text_b: str, k: int = 3) -> float:
 def _pairs_from_groups(
     df: pd.DataFrame, id_col: str, max_members: int = MAX_BUCKET_MEMBERS
 ) -> pd.DataFrame:
-    """Within-bucket candidate id pairs (a < b).  Oversized buckets
-    star-link to the min id instead of emitting all O(n²) pairs."""
+    """Within-bucket candidate id pairs (a < b).  Oversized buckets emit a
+    star to the min id PLUS a chain over the sorted ids (2n-3 pairs, still
+    O(n)): pair verification runs AFTER candidate generation, so with a
+    star alone one collision-polluted hub failing the threshold would drop
+    every pair from the bucket — the chain keeps genuinely-duplicate
+    members connectable through each other (ADVICE r2)."""
     ids = sorted(set(df[id_col].tolist()))
     if len(ids) > max_members:
         logger.warning(
-            "LSH bucket with %d members exceeds cap %d: star-linking to min id "
-            "(connectivity preserved, non-star pairs dropped)",
+            "LSH bucket with %d members exceeds cap %d: star+chain-linking "
+            "(connectivity preserved, other pairs dropped)",
             len(ids),
             max_members,
         )
-        pairs = [(ids[0], b) for b in ids[1:]]
+        pairs = [(ids[0], b) for b in ids[1:]] + list(zip(ids[1:-1], ids[2:]))
     else:
         pairs = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
     return pd.DataFrame(pairs, columns=["id_a", "id_b"])
@@ -442,6 +446,17 @@ def connected_components_distributed(
         if s == prev_sum:
             break
         prev_sum = s
+    else:
+        # monotone label sums mean an unchanged sum IS the fixpoint; if we
+        # fell out of the loop instead, components wider than max_iters
+        # rounds are still split — tell the caller rather than silently
+        # returning truncated clusters (ADVICE r2)
+        logger.warning(
+            "connected_components_distributed: no fixpoint after max_iters=%d "
+            "rounds — labels may be split for high-diameter pair graphs; "
+            "raise max_iters",
+            max_iters,
+        )
     return labels.map_batches(
         lambda t: t.rename_columns(["node", "cluster_id"]), batch_format="pyarrow"
     )
@@ -513,11 +528,13 @@ def simhash_dup_pairs(
         recs = sorted(set(zip(g[id_col], g["simhash"])))
         if len(recs) > MAX_BUCKET_MEMBERS:
             logger.warning(
-                "SimHash bucket with %d members exceeds cap %d: star-linking",
+                "SimHash bucket with %d members exceeds cap %d: star+chain-linking",
                 len(recs),
                 MAX_BUCKET_MEMBERS,
             )
-            cand = [(recs[0], r) for r in recs[1:]]
+            # star + chain (see _pairs_from_groups): one far hub can't
+            # zero out the bucket after the hamming filter
+            cand = [(recs[0], r) for r in recs[1:]] + list(zip(recs[1:-1], recs[2:]))
         else:
             cand = [
                 (recs[i], recs[j])
@@ -588,19 +605,26 @@ def embedding_dup_pairs(
         ids = uniq[id_col].to_numpy()
         mat = np.stack(uniq["__vec"].to_numpy())
         if len(ids) > MAX_BUCKET_MEMBERS:
-            # star verify: min-id vs every member (O(n) not O(n²))
+            # star + chain verify (O(n) not O(n²)): hub vs every member
+            # plus consecutive members, so a dissimilar hub can't
+            # disconnect genuinely-similar member pairs (ADVICE r2)
             logger.warning(
-                "Embedding-LSH bucket with %d members exceeds cap %d: star-linking",
+                "Embedding-LSH bucket with %d members exceeds cap %d: "
+                "star+chain-linking",
                 len(ids),
                 MAX_BUCKET_MEMBERS,
             )
             sims = mat[1:] @ mat[0]
             keep = sims >= threshold
+            csims = np.einsum("ij,ij->i", mat[1:-1], mat[2:])
+            ckeep = csims >= threshold
             return pd.DataFrame(
                 {
-                    "id_a": np.full(int(keep.sum()), ids[0]),
-                    "id_b": ids[1:][keep],
-                    "cosine": sims[keep].round(6),
+                    "id_a": np.concatenate(
+                        [np.full(int(keep.sum()), ids[0]), ids[1:-1][ckeep]]
+                    ),
+                    "id_b": np.concatenate([ids[1:][keep], ids[2:][ckeep]]),
+                    "cosine": np.concatenate([sims[keep], csims[ckeep]]).round(6),
                 }
             )
         sims = mat @ mat.T

@@ -46,6 +46,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+from contextlib import contextmanager
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -308,17 +309,6 @@ class CrawlEngine:
     )
 
     def __init__(self, config: CrawlConfig):
-        # The fused level is one long operator DAG (~10 operators); Ray
-        # Data's default per-operator resource reservation splits the
-        # cluster budget across ALL of them and starves the heavyweight
-        # extract operator on small clusters (measured: a 100k-URL level
-        # at 8 CPUs ran 250 s reserved vs 89 s unreserved — extract got
-        # ~2 concurrent tasks out of 8).  The level's per-operator
-        # outputs are bounded (combiner partials, projected slim rows),
-        # so reservation-free scheduling cannot livelock here.
-        ctx = ray.data.DataContext.get_current()
-        ctx.op_resource_reservation_enabled = False
-        ctx.target_max_block_size = config.target_block_size_mb * 1024 * 1024
         self.cfg = config
         self.metrics: list[LevelMetrics] = []
         self.seen = ShardedSeen(
@@ -746,12 +736,37 @@ class CrawlEngine:
         os.rename(tmp, self._lvl(k, "manifest.json"))
 
     # ----------------------------------------------------------- entry points
+    @contextmanager
+    def _ctx_overrides(self):
+        """Scope the engine's DataContext tuning to its own executions.
+
+        The fused level is one long operator DAG (~10 operators); Ray
+        Data's default per-operator resource reservation splits the
+        cluster budget across ALL of them and starves the heavyweight
+        extract operator on small clusters (measured: a 100k-URL level at
+        8 CPUs ran 250 s reserved vs 89 s unreserved — extract got ~2
+        concurrent tasks out of 8).  The level's per-operator outputs are
+        bounded (combiner partials, projected slim rows), so
+        reservation-free scheduling cannot livelock here.  Datasets
+        SNAPSHOT the context at creation, so the overrides apply while
+        the engine builds/executes its levels and are RESTORED on exit —
+        unrelated pipelines later in the process keep Ray's defaults."""
+        ctx = ray.data.DataContext.get_current()
+        saved = (ctx.op_resource_reservation_enabled, ctx.target_max_block_size)
+        ctx.op_resource_reservation_enabled = False
+        ctx.target_max_block_size = self.cfg.target_block_size_mb * 1024 * 1024
+        try:
+            yield
+        finally:
+            ctx.op_resource_reservation_enabled, ctx.target_max_block_size = saved
+
     def run(self) -> list[LevelMetrics]:
         """Fresh crawl from the seed list."""
         shutil.rmtree(self.cfg.ckpt_dir, ignore_errors=True)
         os.makedirs(self.cfg.ckpt_dir, exist_ok=True)
         seeds = self.cfg.seeds or [f"https://{self.cfg.domain}"]
-        return self._loop(0, seed_tbl=frontier_table(seeds))
+        with self._ctx_overrides():
+            return self._loop(0, seed_tbl=frontier_table(seeds))
 
     def resume(self) -> list[LevelMetrics]:
         """Restart after the last committed level: replay seen deltas from
@@ -764,8 +779,9 @@ class CrawlEngine:
         for d in list(os.listdir(self.cfg.ckpt_dir)):
             if d.startswith("level_") and int(d.split("_")[1]) > last:
                 shutil.rmtree(os.path.join(self.cfg.ckpt_dir, d), ignore_errors=True)
-        self._replay_seen(done)
-        return self._loop(last + 1)
+        with self._ctx_overrides():
+            self._replay_seen(done)
+            return self._loop(last + 1)
 
     def _replay_seen(self, levels: list[int]) -> None:
         """Rebuild the seen-set from committed ``results`` urls.  The total
@@ -859,7 +875,8 @@ class CrawlEngine:
         Pass ``n_frontier`` if known (from source metadata) to avoid a
         counting execution."""
         os.makedirs(self.cfg.ckpt_dir, exist_ok=True)
-        self._run_level_big(k, frontier, n_frontier)
+        with self._ctx_overrides():
+            self._run_level_big(k, frontier, n_frontier)
         return self.metrics[-1]
 
     # ----------------------------------------------------------- artifacts

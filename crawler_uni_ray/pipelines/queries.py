@@ -469,7 +469,11 @@ def docs_minhash_clusters(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
             list(zip(verified["id_a"].astype(int), verified["id_b"].astype(int)))
         )
     out = pd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
-    out["cluster_id"] = [comp.get(int(d), int(d)) for d in out["doc_id"]]
+    # vectorized label attach (the result is inherently corpus-sized — the
+    # driver contract wants a DataFrame; at real scale this finalize would
+    # be a distributed join against CC labels written to parquet)
+    ids = out["doc_id"].astype("int64")
+    out["cluster_id"] = ids.map(comp).fillna(ids).astype("int64")
     return out.sort_values("doc_id").reset_index(drop=True)
 
 

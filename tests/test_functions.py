@@ -119,9 +119,10 @@ def test_connected_components_distributed_equals_unionfind(ray_session):
 
 
 def test_lsh_bucket_cap_star_links(ray_session):
-    """10k-identical-doc degenerate corpus: every doc lands in the same
-    LSH bucket; the cap must star-link (O(n) pairs) instead of emitting
-    O(n²) — the run completes in seconds and connectivity is preserved."""
+    """5k-identical-doc degenerate corpus: every doc lands in the same
+    LSH bucket; the cap must star+chain-link (O(n) pairs) instead of
+    emitting O(n²) — the run completes in seconds, connectivity is
+    preserved, and member↔member chain links survive a failed hub."""
     import ray.data as rd
 
     n = 5000
@@ -129,11 +130,18 @@ def test_lsh_bucket_cap_star_links(ray_session):
         [{"doc_id": i, "text": "the same boilerplate text " * 4} for i in range(n)]
     )
     pairs = fdedup.minhash_lsh_candidates(ds, n_hashes=16, bands=4).to_pandas()
-    assert len(pairs) == n - 1  # star: min id ↔ each other member
+    assert len(pairs) == 2 * n - 3  # star (n-1) + chain (n-2)
     comp = fdedup.connected_components(
         list(zip(pairs["id_a"].astype(int), pairs["id_b"].astype(int)))
     )
     assert all(comp.get(i, i) == 0 for i in range(n))
+    # hub-failure resilience (ADVICE r2): drop every hub pair — the chain
+    # alone must still connect all remaining members
+    no_hub = pairs[pairs["id_a"] != 0]
+    comp2 = fdedup.connected_components(
+        list(zip(no_hub["id_a"].astype(int), no_hub["id_b"].astype(int)))
+    )
+    assert all(comp2.get(i, i) == 1 for i in range(1, n))
 
 
 def test_verify_pairs_indexed_matches_broadcast_and_prunes(ray_session, tmp_path):

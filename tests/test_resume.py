@@ -88,6 +88,25 @@ def test_resume_distributed_path(ray_session, tiny_corpus, tmp_path):
     assert resumed.visited_depth() == oracle.visited_depth
 
 
+def test_engine_restores_datacontext(ray_session, tiny_corpus, tmp_path):
+    """The engine's DataContext tuning (reservation off, small blocks) is
+    scoped to its own executions — unrelated Ray Data pipelines run later
+    in the same process must see the prior defaults (ADVICE r2)."""
+    import ray.data
+
+    ctx = ray.data.DataContext.get_current()
+    before = (ctx.op_resource_reservation_enabled, ctx.target_max_block_size)
+    eng = CrawlEngine(
+        CrawlConfig(
+            domain=DOMAIN, ckpt_dir=str(tmp_path / "ckpt"),
+            corpus_dict=tiny_corpus, max_levels=1,
+        )
+    )
+    eng.run()
+    after = (ctx.op_resource_reservation_enabled, ctx.target_max_block_size)
+    assert after == before
+
+
 def test_results_stream_consumption(ray_session, tmp_path):
     """Streaming consumption of the crawl results table: iterate Arrow
     batches straight off the per-level parquet (no materialize / take_all)
