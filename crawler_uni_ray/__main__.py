@@ -37,6 +37,10 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--priority-policy", default="none", choices=["none", "indegree"]
     )
+    p.add_argument(
+        "--rate-per-host", type=float,
+        help="http mode: wall-clock requests/sec per host (token bucket)",
+    )
     p.add_argument("--max-pages", type=int)
     p.add_argument("--max-levels", type=int, default=1000)
     p.add_argument("--seeds", nargs="*", help="override the default https://domain seed")
@@ -72,6 +76,7 @@ def main(argv: list[str] | None = None) -> int:
             fetch_mode=args.fetch_mode,
             num_corpus_shards=args.num_corpus_shards,
             budget=args.budget,
+            http_rate_per_host=args.rate_per_host,
             priority_policy=args.priority_policy,
             max_pages=args.max_pages,
             max_levels=args.max_levels,

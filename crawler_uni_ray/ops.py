@@ -17,9 +17,13 @@ import pandas as pd
 import pyarrow as pa
 
 from .urlnorm import url_hash_batch
-from .util import from_pandas_clean
+from .util import from_pandas_clean, silence_empty_block_schema_warning
 
 from ray.data import Dataset
+
+# every bucketed op here can legitimately produce empty shuffle partitions
+# (n_buckets > distinct keys) — drop ray's per-empty-block schema warning
+silence_empty_block_schema_warning()
 
 
 def add_hash_bucket(

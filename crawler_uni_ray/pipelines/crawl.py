@@ -89,6 +89,7 @@ class CrawlConfig:
     fetch_mode: str = "auto"  # auto | broadcast | join | partitioned | http
     http_timeout: float = 10.0  # http mode: per-request timeout (crawler.py:30)
     http_concurrency: int | tuple = (1, 4)  # http mode: fetch actor pool size
+    http_rate_per_host: float | None = None  # http mode: wall-clock req/s per host
     # partitioned fetch: levels above this re-bucket the frontier by the
     # corpus url-hash (ONE pruned read per partition — the scale plan);
     # smaller levels skip that all-to-all and look up per batch (a few
@@ -361,6 +362,7 @@ class CrawlEngine:
                 scheduled,
                 timeout=self.cfg.http_timeout,
                 concurrency=self.cfg.http_concurrency,
+                rate_per_host=self.cfg.http_rate_per_host,
             )
         if self._fetch_mode == "join":
             if self._pages_ds is None:

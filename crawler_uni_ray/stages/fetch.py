@@ -52,7 +52,17 @@ def fetch_broadcast(ds: Dataset, corpus_ref) -> Dataset:
 
 
 def fetch_join(ds: Dataset, pages: Dataset, num_partitions: int = 32) -> Dataset:
-    """Left-outer hash join against the pages Dataset (misses kept)."""
+    """Left-outer hash join against the pages Dataset (misses kept).
+
+    Partition count is clamped to ~2× the cluster's CPUs: ray 2.49's
+    hash-shuffle join aggregators each reserve a CPU fraction, so a
+    partition count far above the CPU count STARVES the map side and
+    deadlocks outright on small clusters (observed: 64 partitions on 4
+    CPUs never completes)."""
+    import ray as _ray
+
+    cpus = int(_ray.cluster_resources().get("CPU", 8))
+    num_partitions = max(2, min(num_partitions, 2 * cpus))
     pages2 = pages.select_columns(["url", "html"])
     joined = ds.join(
         pages2,
@@ -84,17 +94,57 @@ class HttpFetcher:
         "(KHTML, like Gecko) Chrome/120.0 Safari/537.36"
     )
 
-    def __init__(self, timeout: float = 10.0, threads: int = 10):
-        import requests
+    def __init__(
+        self,
+        timeout: float = 10.0,
+        threads: int = 10,
+        rate_per_host: float | None = None,
+        burst: float = 1.0,
+    ):
+        import threading
         from concurrent.futures import ThreadPoolExecutor
+
+        import requests
 
         self.session = requests.Session()
         self.session.headers.update({"User-Agent": self.USER_AGENT})
         self.timeout = timeout
         self.pool = ThreadPoolExecutor(max_workers=threads)
+        # wall-clock politeness (T5 "wall-clock mode", SURVEY §2.4): a
+        # per-host token bucket — ``rate_per_host`` requests/sec with
+        # ``burst`` capacity — throttles THIS actor's threads.  The
+        # deterministic per-level budget upstream stays the conformance
+        # semantics; this bounds the instantaneous request rate a live
+        # host sees.  NOTE the bucket is per actor: for a strict global
+        # per-host cap, run concurrency=1 or divide the rate by pool size
+        # (the per-host scheduler already concentrates a host's URLs).
+        self.rate = rate_per_host
+        self.burst = max(1.0, float(burst))
+        self._buckets: dict[str, tuple[float, float]] = {}
+        self._lock = threading.Lock()
+
+    def _acquire(self, host: str) -> None:
+        """Block until the host's bucket yields one token."""
+        import time
+
+        while True:
+            with self._lock:
+                now = time.monotonic()
+                tokens, last = self._buckets.get(host, (self.burst, now))
+                tokens = min(self.burst, tokens + (now - last) * self.rate)
+                if tokens >= 1.0:
+                    self._buckets[host] = (tokens - 1.0, now)
+                    return
+                self._buckets[host] = (tokens, now)
+                wait = (1.0 - tokens) / self.rate
+            time.sleep(wait)
 
     def _get(self, url: str) -> bytes | None:
         try:
+            if self.rate:
+                from urllib.parse import urlparse
+
+                self._acquire(urlparse(url).netloc)
             resp = self.session.get(url, timeout=self.timeout)
             resp.raise_for_status()  # non-2xx → exception → miss
             return resp.content
@@ -115,13 +165,16 @@ def fetch_http(
     timeout: float = 10.0,
     concurrency: int | tuple[int, int] = (1, 4),
     batch_size: int = 64,
+    rate_per_host: float | None = None,
 ) -> Dataset:
     """Actor-pool live fetch.  Sizing: each actor overlaps ~10 in-flight
     requests; scale the pool (``concurrency``) to the politeness budget —
-    the per-host scheduler upstream already bounds per-host pressure."""
+    the per-host scheduler upstream already bounds per-host pressure.
+    ``rate_per_host`` adds a wall-clock per-host token bucket per actor
+    (requests/sec) on top of the deterministic per-level budget."""
     return ds.map_batches(
         HttpFetcher,
-        fn_constructor_kwargs={"timeout": timeout},
+        fn_constructor_kwargs={"timeout": timeout, "rate_per_host": rate_per_host},
         concurrency=concurrency,
         batch_size=batch_size,
         batch_format="pyarrow",

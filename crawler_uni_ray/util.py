@@ -41,6 +41,40 @@ def ensure_worker_thread_limits(cpu: int = 1, io: int = 2) -> None:
     _THREADS_TUNED = True
 
 
+_SCHEMA_WARN_FILTERED = False
+
+
+def silence_empty_block_schema_warning() -> None:
+    """Drop the streaming executor's "RefBundle with a different schema …
+    new schema: ." warning — and ONLY that variant.
+
+    Whenever a bucketed shuffle runs with more partitions than distinct
+    keys (routine here: n_buckets is sized to the cluster, vocab/host
+    counts to the data), Ray's hash-shuffle aggregator emits schema-LESS
+    empty blocks for the empty partitions and warns once per block.  The
+    UDF is never invoked for those partitions (verified on ray 2.49), so
+    no kernel-side "explicit empty schema" can prevent it; the engine's
+    kernels are schema-stable for every non-empty block.  Warnings about
+    genuinely MISMATCHED non-empty schemas still pass through."""
+    global _SCHEMA_WARN_FILTERED
+    if _SCHEMA_WARN_FILTERED:
+        return
+    import logging
+
+    class _DropEmptySchemaWarn(logging.Filter):
+        def filter(self, record: logging.LogRecord) -> bool:
+            msg = record.getMessage()
+            return not (
+                "produced a RefBundle with a different schema" in msg
+                and "new schema: ." in msg
+            )
+
+    logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state"
+    ).addFilter(_DropEmptySchemaWarn())
+    _SCHEMA_WARN_FILTERED = True
+
+
 def from_pandas_clean(df, schema=None):
     """pandas → Arrow with NO pandas schema metadata.  Blocks that carry
     ``b'pandas'`` metadata defeat Ray's block-schema dedup in shuffle

@@ -161,6 +161,29 @@ def test_join_fetch_conformance_two_levels(ray_session, tiny_corpus, tmp_path):
     assert got == want
 
 
+def test_fetch_join_partitions_above_corpus_size(ray_session):
+    """Native-join hardening (VERDICT r2 #10): requesting far more join
+    partitions than CPUs must neither deadlock (ray 2.49 join aggregators
+    reserve CPU fractions — 64 partitions on 4 CPUs starves the map side)
+    nor trip acero's empty-partition ArrowInvalid when the right side is
+    smaller than the partition count (the docs_tfidf_top round-2 failure
+    shape) — fetch_join clamps to 2×CPUs, and parquet/arrow-rooted blocks
+    carry their schema even when empty."""
+    import pyarrow as pa
+    import ray.data
+
+    from crawler_uni_ray.stages.fetch import fetch_join
+    from crawler_uni_ray.stages.frontier import frontier_table
+
+    urls = [f"https://example.com/p{i}.html" for i in range(10)]
+    pages = ray.data.from_arrow(
+        pa.table({"url": urls[:3], "html": [b"<html></html>"] * 3})
+    )
+    front = ray.data.from_arrow(frontier_table(urls))
+    out = fetch_join(front, pages, num_partitions=64).to_pandas()
+    assert len(out) == 10 and int(out["fetched"].sum()) == 3
+
+
 def test_max_pages_guard(ray_session, tiny_corpus, tmp_path):
     eng = CrawlEngine(
         CrawlConfig(

@@ -57,6 +57,50 @@ def http_site():
     srv.shutdown()
 
 
+def _recording_server(record: list):
+    class _Rec(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            record.append(time.monotonic())
+            body = b"<html><body>ok</body></html>"
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), _Rec)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv
+
+
+def test_http_rate_limit_spaces_requests_per_host(ray_session):
+    """Wall-clock politeness (T5 wall-clock mode): with rate_per_host=10
+    the server must see ≥ ~100 ms between a host's requests even though
+    the fetcher's thread pool would otherwise issue them all at once —
+    and each host fills its own bucket (both hosts still get all rows)."""
+    rec_a: list = []
+    rec_b: list = []
+    srv_a, srv_b = _recording_server(rec_a), _recording_server(rec_b)
+    try:
+        host_a = f"127.0.0.1:{srv_a.server_address[1]}"
+        host_b = f"127.0.0.1:{srv_b.server_address[1]}"
+        urls = [f"http://{host_a}/p{i}.html" for i in range(5)] + [
+            f"http://{host_b}/p{i}.html" for i in range(5)
+        ]
+        ds = ray.data.from_arrow(frontier_table(urls))
+        out = fetch_http(ds, timeout=5.0, concurrency=1, rate_per_host=10.0)
+        assert out.to_pandas()["fetched"].all()
+        for rec in (rec_a, rec_b):
+            assert len(rec) == 5
+            gaps = [b - a for a, b in zip(sorted(rec), sorted(rec)[1:])]
+            assert all(g >= 0.07 for g in gaps), gaps
+    finally:
+        srv_a.shutdown()
+        srv_b.shutdown()
+
+
 def test_http_fetch_stage_semantics(ray_session, http_site):
     """Hit → bytes; 404 → miss; timeout → miss; refused port → miss —
     never a task failure (errors are data)."""
