@@ -253,15 +253,48 @@ def write_ivf_index(
     n_centroids of the index."""
     import os
 
+    import pyarrow as _pa
+
     cent = kmeans_centroids(
         ds, n_centroids=n_centroids, n_iters=n_iters, seed=seed,
         sample_mod=sample_mod, vec_col=vec_col, id_col=id_col,
     )
     indexed = build_ivf_index(ds, cent, vec_col=vec_col, id_col=id_col)
-    os.makedirs(index_dir, exist_ok=True)
-    indexed.write_parquet(
-        os.path.join(index_dir, "lists"), partition_cols=["ivf_list"]
-    )
+    lists_dir = os.path.join(index_dir, "lists")
+    os.makedirs(lists_dir, exist_ok=True)
+
+    def _write_lists(df: pd.DataFrame) -> pd.DataFrame:
+        # each task side-writes its rows grouped by list id into
+        # ``lists/list_NNNN/`` dirs.  Two deliberate choices: (a) the
+        # vectors persist as PLAIN fixed_size_list<float32> — a pandas
+        # block of ndarrays would round-trip through Ray's tensor
+        # extension type and poison every future read of the files with
+        # extension metadata; (b) ``list_NNNN`` naming, not hive
+        # ``ivf_list=N`` — ``=`` dirs trigger hive-partition inference on
+        # read-back (schema clash with the pruned file-list reads).
+        import uuid
+
+        import pyarrow.parquet as _wpq
+
+        lists = df["ivf_list"].to_numpy()
+        for lid in np.unique(lists):
+            sub = df[lists == lid]
+            mat = np.stack(sub[vec_col].to_numpy()).astype(np.float32)
+            t = _pa.table(
+                {
+                    id_col: _pa.array(sub[id_col].to_numpy()),
+                    vec_col: _pa.FixedSizeListArray.from_arrays(
+                        _pa.array(mat.ravel(), _pa.float32()), mat.shape[1]
+                    ),
+                }
+            )
+            d = os.path.join(lists_dir, f"list_{int(lid):04d}")
+            os.makedirs(d, exist_ok=True)
+            _wpq.write_table(t, os.path.join(d, f"part-{uuid.uuid4().hex[:12]}.parquet"))
+        return pd.DataFrame({"n": [len(df)]})
+
+    # consume the write pipeline (tiny count rows only reach the driver)
+    indexed.map_batches(_write_lists, batch_format="pandas").sum("n")
     np.save(os.path.join(index_dir, "centroids.npy"), cent)
     return cent
 
@@ -294,7 +327,7 @@ def ann_ivf_persisted(
     probed = sorted({int(x) for x in order.ravel()})
     files: list[str] = []
     for p in probed:
-        d = os.path.join(index_dir, "lists", f"ivf_list={p}")
+        d = os.path.join(index_dir, "lists", f"list_{int(p):04d}")
         if os.path.isdir(d):
             files += [
                 os.path.join(d, f) for f in sorted(os.listdir(d))
@@ -310,14 +343,20 @@ def ann_ivf_persisted(
         return empty, stats
     cref = ray.put(np.asarray(cent, dtype=np.float32))
 
-    def _tag(df: pd.DataFrame) -> pd.DataFrame:
-        c = cached_get(cref)
-        mat = _as_matrix(df[vec_col].to_numpy())
-        df = df.copy()
-        df["ivf_list"] = np.argmax(mat @ c.T, axis=1).astype(np.int64)
-        return df
+    def _tag(t):
+        # arrow in/out: appending the tag without a pandas round-trip
+        # keeps the list<float> column out of Ray's pandas TensorDtype
+        # path, whose block re-conversion is unreliable for object
+        # columns of ndarrays
+        import pyarrow as _pa
 
-    indexed = ray.data.read_parquet(files).map_batches(_tag, batch_format="pandas")
+        c = cached_get(cref)
+        col = t[vec_col].combine_chunks()
+        mat = np.asarray(col.flatten(), dtype=np.float32).reshape(len(t), -1)
+        assign = np.argmax(mat @ c.T, axis=1).astype(np.int64)
+        return t.append_column("ivf_list", _pa.array(assign))
+
+    indexed = ray.data.read_parquet(files).map_batches(_tag, batch_format="pyarrow")
     return _ivf_search(indexed, order, qmat, query_ids, k, vec_col, id_col), stats
 
 
