@@ -94,7 +94,13 @@ class CrawlConfig:
     # corpus url-hash (ONE pruned read per partition — the scale plan);
     # smaller levels skip that all-to-all and look up per batch (a few
     # extra pruned reads beat a shuffle's fixed cost)
-    fetch_align_threshold: int = 50_000
+    # align (re-bucket by the corpus url-hash before fetching) for all but
+    # tiny levels: the unaligned path batches 8192 urls per task, so a
+    # 10-50k-row level ran fetch+extract as ~5 fat fused tasks — 5-way
+    # parallelism on a 32-CPU box (measured 13.3 s vs 8.6 s aligned on a
+    # 43k-row level).  The aligned plan reads each corpus partition exactly
+    # once AND gets one task per partition.
+    fetch_align_threshold: int = 1_000
     num_corpus_shards: int = 8  # partitioning of corpus_path
     n_buckets: int = 32  # scheduling/dedup hash buckets
     n_salts: int = 8
@@ -536,9 +542,17 @@ class CrawlEngine:
         flagged = None
         deferred_stream = None  # in-stream deferred rows (skew path)
         deferred_dir = None  # on-disk deferred partials (fused budget path)
+        hot = self._load_hot_hosts(k)
         if cfg.budget is None:
             scheduled = candidates
-        elif cfg.skew_threshold is None:
+        elif cfg.skew_threshold is None or hot == set():
+            # no budget-splitting salts needed: either skew handling is
+            # off, or the previous level's side-written host counts PROVE
+            # no host is hot (a pre-seen-filter upper bound).  The salted
+            # plan is semantically identical to the unsalted one (tested),
+            # so take the fused single-execution scheduler and skip the
+            # salting path's extra materialize barrier + second pass —
+            # on a many-level crawl this halves the per-level fixed cost.
             deferred_dir = self._lvl(k, "deferred")
             shutil.rmtree(deferred_dir, ignore_errors=True)
             os.makedirs(deferred_dir, exist_ok=True)
@@ -555,7 +569,7 @@ class CrawlEngine:
                 n_buckets=cfg.n_buckets,
                 n_salts=cfg.n_salts,
                 skew_threshold=cfg.skew_threshold,
-                hot_hosts=self._load_hot_hosts(k),
+                hot_hosts=hot,
             ).materialize()  # level working set: reused by scheduled+deferred branches
 
             def _split(keep: bool):
