@@ -67,7 +67,12 @@ from ..stages.priority import (
     new_partials_pandas,
 )
 from ..stages.robots import _build_parsers, robots_filter, robots_mask
-from ..stages.schedule import schedule_flags_pandas, schedule_level, schedule_level_fused
+from ..stages.schedule import (
+    host_counts,
+    schedule_flags_pandas,
+    schedule_level_fused,
+    schedule_level_fused_salted,
+)
 from ..stages.seen_stage import seen_add, seen_filter
 from ..state.seen import ShardedSeen
 from ..urlnorm import hosts_batch_cleaned
@@ -494,9 +499,9 @@ class CrawlEngine:
     def _load_hot_hosts(self, k: int) -> set[str] | None:
         """Hot hosts for level ``k`` from the PREVIOUS level's side-written
         frontier host counts (a tiny driver-side read — one row per
-        (host, bucket)).  None → ``schedule_level`` falls back to its
-        distributed count pass (level 0, small-path predecessor, resume
-        without the artifact)."""
+        (host, bucket)).  None → the caller runs its own count pass over
+        the frontier when it is big enough to matter (level 0, small-path
+        predecessor, resume without the artifact)."""
         if self.cfg.skew_threshold is None or k == 0:
             return None
         files = _parquet_files(self._lvl(k - 1, "host_counts"))
@@ -539,50 +544,46 @@ class CrawlEngine:
             cfg.num_corpus_shards if self._fetch_mode == "partitioned" else cfg.n_buckets
         )
 
-        flagged = None
-        deferred_stream = None  # in-stream deferred rows (skew path)
-        deferred_dir = None  # on-disk deferred partials (fused budget path)
+        deferred_dir = None  # on-disk deferred partials (fused budget paths)
         hot = self._load_hot_hosts(k)
         if cfg.budget is None:
             scheduled = candidates
-        elif cfg.skew_threshold is None or hot == set():
-            # no budget-splitting salts needed: either skew handling is
-            # off, or the previous level's side-written host counts PROVE
-            # no host is hot (a pre-seen-filter upper bound).  The salted
-            # plan is semantically identical to the unsalted one (tested),
-            # so take the fused single-execution scheduler and skip the
-            # salting path's extra materialize barrier + second pass —
-            # on a many-level crawl this halves the per-level fixed cost.
+        else:
+            if (
+                hot is None
+                and cfg.skew_threshold is not None
+                and n_frontier > cfg.skew_threshold
+            ):
+                # no side-written counts (level 0 / resume / small-path
+                # predecessor): one count pass over the frontier urls — a
+                # pre-seen-filter upper bound, which only ever salts MORE
+                # hosts; skipped when the whole frontier is below the
+                # threshold (no host can be hot)
+                hc = host_counts(frontier)
+                hot = set(hc.loc[hc["n"] > cfg.skew_threshold, "host"])
             deferred_dir = self._lvl(k, "deferred")
             shutil.rmtree(deferred_dir, ignore_errors=True)
             os.makedirs(deferred_dir, exist_ok=True)
-            scheduled = schedule_level_fused(
-                candidates,
-                cfg.budget,
-                _deferred_partials_writer(deferred_dir, dedup_buckets),
-                n_buckets=cfg.n_buckets,
-            )
-        else:
-            flagged = schedule_level(
-                candidates,
-                cfg.budget,
-                n_buckets=cfg.n_buckets,
-                n_salts=cfg.n_salts,
-                skew_threshold=cfg.skew_threshold,
-                hot_hosts=hot,
-            ).materialize()  # level working set: reused by scheduled+deferred branches
-
-            def _split(keep: bool):
-                def f(t: pa.Table) -> pa.Table:
-                    m = np.asarray(t["scheduled"].to_pylist(), dtype=bool)
-                    return t.filter(pa.array(m if keep else ~m)).drop_columns(
-                        ["scheduled"]
-                    )
-
-                return f
-
-            scheduled = flagged.map_batches(_split(True), batch_format="pyarrow")
-            deferred_stream = flagged.map_batches(_split(False), batch_format="pyarrow")
+            writer = _deferred_partials_writer(deferred_dir, dedup_buckets)
+            if not hot:
+                # skew handling off, or counts prove no host is hot: the
+                # unsalted single-execution scheduler (exact semantics,
+                # one groupby shuffle)
+                scheduled = schedule_level_fused(
+                    candidates, cfg.budget, writer, n_buckets=cfg.n_buckets
+                )
+            else:
+                # hot hosts present: the salted scheduler — still ONE
+                # streaming execution (two chained in-stream groupbys,
+                # no materialize barrier; see schedule.py)
+                scheduled = schedule_level_fused_salted(
+                    candidates,
+                    cfg.budget,
+                    writer,
+                    n_buckets=cfg.n_buckets,
+                    n_salts=cfg.n_salts,
+                    hot_hosts=hot,
+                )
 
         results_final = self._lvl(k, "results")
         results_tmp = results_final + ".tmp"
@@ -630,17 +631,7 @@ class CrawlEngine:
                 g, schema=_COMBINE_SCHEMA, preserve_index=False
             ).replace_schema_metadata(None)
 
-        def _deferred_partials(t: pa.Table) -> pa.Table:
-            g = deferred_partials_pandas(t.to_pandas())
-            return pa.Table.from_pandas(
-                g, schema=_COMBINE_SCHEMA, preserve_index=False
-            ).replace_schema_metadata(None)
-
         next_candidates = outlinks.map_batches(_next_partials, batch_format="pyarrow")
-        if deferred_stream is not None:
-            next_candidates = next_candidates.union(
-                deferred_stream.map_batches(_deferred_partials, batch_format="pyarrow")
-            )
         bucketed = add_hash_bucket(next_candidates, "url", dedup_buckets)
         if deferred_dir is not None:
             # seed one marker row per bucket so every combine group fires
@@ -697,9 +688,7 @@ class CrawlEngine:
         os.rename(results_tmp, results_final)
         n_results = _count_rows(results_final)
 
-        if flagged is not None:
-            n_cand = flagged.count()
-        elif deferred_dir is not None:
+        if deferred_dir is not None:
             n_cand = n_results + _count_rows(deferred_dir)
         else:
             n_cand = n_results

@@ -112,6 +112,104 @@ def schedule_level_fused(
     )
 
 
+def schedule_level_fused_salted(
+    ds: Dataset,
+    budget: int,
+    deferred_writer,
+    *,
+    n_buckets: int = 32,
+    n_salts: int = 8,
+    hot_hosts: set[str],
+) -> Dataset:
+    """Single-execution scheduling WITH hot-host salting: the salted
+    variant of :func:`schedule_level_fused`.  Two chained in-stream
+    groupbys, zero materialize barriers:
+
+    1. bucket by ``hash(host#salt)`` → per-(host, salt) local
+       top-``budget`` (rows past it are definitively deferred →
+       side-written via ``deferred_writer``; a salted sub-queue's local
+       top-``budget`` is a superset of the host's global top-``budget``);
+    2. re-key the survivors — hot-host rows by ``hash(host)`` so each hot
+       host's ≤ ``n_salts``×``budget`` survivors land in ONE group, cold
+       rows keep their (already balanced) schedule bucket — and re-trim
+       hot hosts exactly; rows trimmed here are deferred too, side-written
+       under the disjoint ``sched_bucket = n_buckets + key`` namespace so
+       retries stay idempotent and stage-1 files are never clobbered.
+
+    Net semantics ≡ :func:`schedule_level` (same kernels, same ordering
+    spec), but the whole level stays ONE streaming execution: both
+    side-write stages sit ahead of the frontier-combine's all-to-all, so
+    every deferred partial is durable before any combine group reads it.
+    The second shuffle moves only the scheduled rows (url-sized), and at
+    most ``n_salts``×``budget`` rows per hot host reach a re-trim group —
+    no bucket ever holds a hot host's full candidate mass.
+    """
+    hot_ref = hot_hosts
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        hosts = np.asarray(t["host"].to_pylist(), dtype=object)
+        salts = np.zeros(len(hosts), dtype=np.int64)
+        hot = np.fromiter((h in hot_ref for h in hosts), bool, count=len(hosts))
+        if hot.any():
+            salts[hot] = (
+                url_hash_batch(np.asarray(t["url"].to_pylist(), object)[hot])
+                % n_salts
+            ).astype(np.int64)
+        keys = [f"{h}#{s}" for h, s in zip(hosts, salts)]
+        bucket = (url_hash_batch(keys) % n_buckets).astype(np.int64)
+        return (
+            t.append_column("__salt", pa.array(salts))
+            .append_column("__hot", pa.array(hot))
+            .append_column("__bucket", pa.array(bucket))
+        )
+
+    def _sched(g: pd.DataFrame) -> pa.Table:
+        from ..util import ensure_worker_thread_limits, from_pandas_clean
+
+        ensure_worker_thread_limits()
+        bid = int(g["__bucket"].iloc[0])
+        rank = _rank_within(g, ["host", "__salt"])
+        kept_mask = rank < budget
+        hot_m = g["__hot"].to_numpy(dtype=bool)
+        key2 = np.full(len(g), bid, dtype=np.int64)
+        if hot_m.any():
+            key2[hot_m] = (
+                url_hash_batch(g["host"].to_numpy(dtype=object)[hot_m]) % n_buckets
+            ).astype(np.int64)
+        g = g.drop(columns=["__salt", "__bucket"]).copy()
+        g["__key2"] = key2
+        t = from_pandas_clean(g)  # convert before filtering: keeps types on empty
+        deferred = t.filter(pa.array(~kept_mask)).drop_columns(["__hot", "__key2"])
+        if deferred.num_rows:
+            deferred_writer(deferred, bid)
+        return t.filter(pa.array(kept_mask))
+
+    def _retrim(g: pd.DataFrame) -> pa.Table:
+        from ..util import ensure_worker_thread_limits, from_pandas_clean
+
+        ensure_worker_thread_limits()
+        kid = int(g["__key2"].iloc[0])
+        hot_m = g["__hot"].to_numpy(dtype=bool)
+        t = from_pandas_clean(g.drop(columns=["__key2"]))
+        if not hot_m.any():
+            return t.drop_columns(["__hot"])
+        keep = np.ones(len(g), dtype=bool)
+        rank = _rank_within(g.loc[hot_m], ["host"])
+        keep[hot_m] = rank < budget  # positional: .loc[mask] preserves order
+        trimmed = t.filter(pa.array(~keep)).drop_columns(["__hot"])
+        if trimmed.num_rows:
+            deferred_writer(trimmed, n_buckets + kid)
+        return t.filter(pa.array(keep)).drop_columns(["__hot"])
+
+    return (
+        ds.map_batches(_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(_sched, batch_format="pandas")
+        .groupby("__key2")
+        .map_groups(_retrim, batch_format="pandas")
+    )
+
+
 def schedule_level(
     ds: Dataset,
     budget: int | None,
