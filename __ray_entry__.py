@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_ann_lsh": q.embeddings_ann_lsh,
         "embeddings_ann_ivf": q.embeddings_ann_ivf,
         "embeddings_ann_ivf_persisted": q.embeddings_ann_ivf_persisted,
+        "embeddings_ann_lsh_persisted": q.embeddings_ann_lsh_persisted,
         # crawl / url / media
         "url_canonicalize": q.url_canonicalize,
         "crawl_bfs_visited": q.crawl_bfs_visited,

@@ -188,6 +188,14 @@ def _ivf_search(
         return pd.DataFrame(out)
 
     partials = indexed.map_batches(_partial, batch_format="pandas").to_pandas()
+    return _merge_topk_partials(partials, query_ids, k)
+
+
+def _merge_topk_partials(
+    partials: pd.DataFrame, query_ids: list[int], k: int
+) -> pd.DataFrame:
+    """Driver merge of per-batch top-k partials (≤ n_batches × n_queries
+    × k rows — bounded for any corpus size).  Shared by every ANN path."""
     rows = []
     for qi, qid in enumerate(query_ids):
         cand = partials[partials["qi"] == qi] if len(partials) else partials
@@ -385,6 +393,29 @@ def build_lsh_index(
     return ds.map_batches(_code, batch_format="pandas"), planes
 
 
+def _lsh_probe_sets(
+    qmat: np.ndarray, planes: np.ndarray, n_planes: int, multiprobe_bits: int
+) -> list[set[int]]:
+    """Per-query probe codes: own bucket + all codes within
+    ``multiprobe_bits`` bit flips (shared by the in-memory and persisted
+    LSH paths so their probe semantics are identical)."""
+    qcodes = ((qmat @ planes) > 0).astype(np.int64) @ (
+        1 << np.arange(n_planes, dtype=np.int64)
+    )
+    probe_sets = []
+    for c in qcodes:
+        probes = {int(c)}
+        probes |= {int(c) ^ (1 << b) for b in range(n_planes)}
+        if multiprobe_bits >= 2:
+            probes |= {
+                int(c) ^ (1 << b1) ^ (1 << b2)
+                for b1 in range(n_planes)
+                for b2 in range(b1 + 1, n_planes)
+            }
+        probe_sets.append(probes)
+    return probe_sets
+
+
 def ann_lsh(
     ds: Dataset,
     queries: np.ndarray,
@@ -403,20 +434,7 @@ def ann_lsh(
         ds, n_planes=n_planes, seed=seed, dim=dim, vec_col=vec_col, id_col=id_col
     )
     qmat = _normalize(np.asarray(queries, dtype=np.float32))
-    qcodes = ((qmat @ planes) > 0).astype(np.int64) @ (
-        1 << np.arange(n_planes, dtype=np.int64)
-    )
-    probe_sets = []
-    for c in qcodes:
-        probes = {int(c)}
-        probes |= {int(c) ^ (1 << b) for b in range(n_planes)}
-        if multiprobe_bits >= 2:
-            probes |= {
-                int(c) ^ (1 << b1) ^ (1 << b2)
-                for b1 in range(n_planes)
-                for b2 in range(b1 + 1, n_planes)
-            }
-        probe_sets.append(probes)
+    probe_sets = _lsh_probe_sets(qmat, planes, n_planes, multiprobe_bits)
     # per-batch partial top-k (same combiner as ann_bruteforce): the
     # driver merge sees ≤ n_batches × n_queries × k rows — bounded for
     # ANY query-set size, never the candidate set itself
@@ -442,16 +460,142 @@ def ann_lsh(
         return pd.DataFrame(out)
 
     partials = indexed.map_batches(_partial, batch_format="pandas").to_pandas()
-    rows = []
-    for qi, qid in enumerate(query_ids):
-        cand = partials[partials["qi"] == qi] if len(partials) else partials
-        if len(cand) == 0:
-            continue
-        best = heapq.nsmallest(
-            k, cand.itertuples(index=False), key=lambda r: (-r.cosine, r.neighbor_id)
-        )
-        for rank, r in enumerate(best):
-            rows.append(
-                (int(qid), int(r.neighbor_id), round(float(r.cosine), 6), rank + 1)
+    return _merge_topk_partials(partials, query_ids, k)
+
+
+def write_lsh_index(
+    ds: Dataset,
+    index_dir: str,
+    n_planes: int = 10,
+    seed: int = 23,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """Build and PERSIST the hyperplane-LSH index once: ``planes.npy``
+    (tiny, driver-side) plus the normalized vectors written as parquet
+    partitioned by bucket code (``buckets/bucket_NNNN/``, same plain
+    fixed_size_list + non-hive naming discipline as
+    :func:`write_ivf_index`).  Queries served via
+    :func:`ann_lsh_persisted` read only their multiprobe buckets' files —
+    I/O ∝ probed buckets.  At sandbox scale most of the 2^n_planes dirs
+    hold a handful of rows; at 100 TB each bucket is a real partition and
+    the probe-pruned read is the point."""
+    import os
+
+    import pyarrow as _pa
+
+    indexed, planes = build_lsh_index(
+        ds, n_planes=n_planes, seed=seed, dim=dim, vec_col=vec_col, id_col=id_col
+    )
+    buckets_dir = os.path.join(index_dir, "buckets")
+    os.makedirs(buckets_dir, exist_ok=True)
+
+    def _write_buckets(df: pd.DataFrame) -> pd.DataFrame:
+        import uuid
+
+        import pyarrow.parquet as _wpq
+
+        codes = df["bucket"].to_numpy()
+        for code in np.unique(codes):
+            sub = df[codes == code]
+            mat = np.stack(sub[vec_col].to_numpy()).astype(np.float32)
+            t = _pa.table(
+                {
+                    id_col: _pa.array(sub[id_col].to_numpy()),
+                    vec_col: _pa.FixedSizeListArray.from_arrays(
+                        _pa.array(mat.ravel(), _pa.float32()), mat.shape[1]
+                    ),
+                }
             )
-    return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "cosine", "rank"])
+            d = os.path.join(buckets_dir, f"bucket_{int(code):04d}")
+            os.makedirs(d, exist_ok=True)
+            _wpq.write_table(
+                t, os.path.join(d, f"part-{uuid.uuid4().hex[:12]}.parquet")
+            )
+        return pd.DataFrame({"n": [len(df)]})
+
+    # consume the write pipeline (tiny count rows only reach the driver)
+    indexed.map_batches(_write_buckets, batch_format="pandas").sum("n")
+    np.save(os.path.join(index_dir, "planes.npy"), planes)
+    return planes
+
+
+def ann_lsh_persisted(
+    index_dir: str,
+    queries: np.ndarray,
+    query_ids: list[int],
+    k: int = 10,
+    multiprobe_bits: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[pd.DataFrame, dict]:
+    """Query a persisted LSH index (see :func:`write_lsh_index`): load the
+    planes (tiny), compute each query's multiprobe code set, and read ONLY
+    those buckets' parquet files.  The bucket code is recomputed per batch
+    from the broadcast planes (vectors were persisted normalized, so the
+    sign code reproduces the stored assignment exactly).  Returns
+    ``(result, stats)`` with ``stats["rows_read"]`` proving I/O ∝ probed
+    buckets.  Results ≡ :func:`ann_lsh` at equal planes/multiprobe by
+    construction (shared :func:`_lsh_probe_sets` +
+    :func:`_merge_topk_partials` kernels)."""
+    import os
+
+    import pyarrow.parquet as _pq
+
+    planes = np.load(os.path.join(index_dir, "planes.npy"))
+    n_planes = planes.shape[1]
+    qmat = _normalize(np.asarray(queries, dtype=np.float32))
+    probe_sets = _lsh_probe_sets(qmat, planes, n_planes, multiprobe_bits)
+    probed = sorted(set().union(*probe_sets))
+    files: list[str] = []
+    for code in probed:
+        d = os.path.join(index_dir, "buckets", f"bucket_{int(code):04d}")
+        if os.path.isdir(d):
+            files += [
+                os.path.join(d, f)
+                for f in sorted(os.listdir(d))
+                if f.endswith(".parquet")
+            ]
+    stats = {
+        "probed_buckets": len(probed),
+        "files_read": len(files),
+        "rows_read": sum(_pq.ParquetFile(f).metadata.num_rows for f in files),
+    }
+    if not files:
+        empty = pd.DataFrame(columns=["query_id", "neighbor_id", "cosine", "rank"])
+        return empty, stats
+    pref = ray.put((np.asarray(planes, dtype=np.float32), qmat, probe_sets))
+
+    def _partial(t) -> pd.DataFrame:
+        p, qm, probes_per_q = cached_get(pref)
+        col = t[vec_col].combine_chunks()
+        mat = np.asarray(col.flatten(), dtype=np.float32).reshape(len(t), -1)
+        ids = np.asarray(t[id_col])
+        codes = ((mat @ p) > 0).astype(np.int64) @ (
+            1 << np.arange(n_planes, dtype=np.int64)
+        )
+        out = {"qi": [], "neighbor_id": [], "cosine": []}
+        for qi, probes in enumerate(probes_per_q):
+            m = np.isin(codes, np.fromiter(probes, dtype=np.int64))
+            if not m.any():
+                continue
+            sims = mat[m] @ qm[qi]
+            sub_ids = ids[m]
+            local = heapq.nsmallest(
+                k,
+                zip(sims.tolist(), sub_ids.tolist()),
+                key=lambda t2: (-t2[0], t2[1]),
+            )
+            for sim, nid in local:
+                out["qi"].append(qi)
+                out["neighbor_id"].append(int(nid))
+                out["cosine"].append(float(sim))
+        return pd.DataFrame(out)
+
+    partials = (
+        ray.data.read_parquet(files)
+        .map_batches(_partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return _merge_topk_partials(partials, query_ids, k), stats

@@ -564,6 +564,29 @@ def embeddings_ann_ivf_persisted(sf_dir: str, k: int = 10) -> pd.DataFrame:
     return out.rename(columns={"rank": "rnk"})
 
 
+def embeddings_ann_lsh_persisted(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """LSH ANN served from a PERSISTED bucket-partitioned index (built
+    once per corpus, atomic tmp-dir rename; reused across calls) — every
+    query reads only its multiprobe buckets' parquet files.  Same planes/
+    multiprobe as ``embeddings_ann_lsh`` → identical rows (shared probe +
+    merge kernels)."""
+    import hashlib
+    import shutil
+
+    qmat, qids = _query_vectors(sf_dir)
+    tag = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    idx_dir = os.path.join("/tmp", f"graft_lsh_{tag}")
+    if not os.path.isfile(os.path.join(idx_dir, "planes.npy")):
+        ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        tmp = idx_dir + ".build"
+        shutil.rmtree(tmp, ignore_errors=True)
+        fsim.write_lsh_index(ds, tmp, dim=qmat.shape[1])
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        os.rename(tmp, idx_dir)
+    out, _stats = fsim.ann_lsh_persisted(idx_dir, qmat, qids, k=k)
+    return out.rename(columns={"rank": "rnk"})
+
+
 def embeddings_dup_pairs(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     out = fdedup.embedding_dup_pairs(ds, threshold=0.9).to_pandas()

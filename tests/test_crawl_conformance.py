@@ -87,6 +87,42 @@ def test_skew_salting_equals_unsalted_plan(ray_session, tiny_corpus, tmp_path):
     _assert_conformance(eng, oracle, check_text=False)
 
 
+def test_salting_without_side_counts_matches_unsalted(ray_session, tiny_corpus, tmp_path):
+    """The `hot is None` dispatch branch: an arbitrary big frontier fed
+    straight to `process_frontier` (no previous-level side-written host
+    counts — the resume / steady-state-harness shape) with skew on must
+    run its own count pass and schedule exactly like the unsalted plan."""
+    import pyarrow as pa
+    import ray.data
+
+    from crawler_uni_ray.stages.frontier import frontier_table
+
+    urls = sorted(tiny_corpus)
+    frontier = ray.data.from_arrow(frontier_table(urls))
+
+    def run(skew):
+        eng = CrawlEngine(
+            CrawlConfig(
+                domain=DOMAIN,
+                ckpt_dir=str(tmp_path / f"c{skew}"),
+                corpus_dict=tiny_corpus,
+                budget=2,
+                skew_threshold=skew,
+                n_salts=4,
+                small_level_rows=0,
+            )
+        )
+        m = eng.process_frontier(frontier, k=0, n_frontier=len(urls))
+        sched = {u for u, d in eng.visited_depth().items()}
+        return m, sched
+
+    m_salted, sched_salted = run(1)  # every host hot, counted in-level
+    m_plain, sched_plain = run(None)
+    assert sched_salted == sched_plain
+    assert m_salted.n_scheduled == m_plain.n_scheduled
+    assert m_salted.n_deferred > 0  # budget actually bound
+
+
 def test_robots_gate_conformance(ray_session, tiny_corpus, tmp_path):
     robots = robots_table_to_dict(build_robots_table(TINY))
     oracle = crawl_oracle(tiny_corpus, DOMAIN, robots=robots)

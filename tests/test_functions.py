@@ -285,6 +285,36 @@ def test_ann_ivf_exhaustive_equals_bruteforce(ray_session):
     assert recall >= 0.6, recall
 
 
+def test_ann_lsh_persisted_prunes_io_and_matches(ray_session, tmp_path):
+    """The persisted LSH index serves queries by reading ONLY the probed
+    multiprobe buckets' parquet files (rows_read < index rows), and its
+    results are identical to the in-memory ann_lsh at equal planes/
+    multiprobe (shared probe-set + merge kernels)."""
+    import ray.data as rd
+
+    from crawler_uni_ray.functions import similarity as fsim
+
+    emb = pd.read_parquet(
+        "/root/testdata/sf0.001/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    q = emb[emb["vec_id"] < 8].sort_values("vec_id")
+    qmat = np.stack(q["embedding"].to_numpy()).astype(np.float64)
+    qids = q["vec_id"].tolist()
+    ds = rd.from_pandas(emb)
+    dim = qmat.shape[1]
+    idx = str(tmp_path / "lsh")
+    fsim.write_lsh_index(ds, idx, dim=dim)
+
+    out, stats = fsim.ann_lsh_persisted(idx, qmat, qids, k=10, multiprobe_bits=2)
+    assert 0 < stats["rows_read"] < len(emb), stats  # I/O ∝ probed buckets
+    in_mem = fsim.ann_lsh(ds, qmat, qids, k=10, multiprobe_bits=2)
+    pd.testing.assert_frame_equal(
+        out.sort_values(["query_id", "rank"]).reset_index(drop=True),
+        in_mem.sort_values(["query_id", "rank"]).reset_index(drop=True),
+        check_dtype=False,
+    )
+
+
 def test_ann_ivf_persisted_prunes_io_and_matches(ray_session, tmp_path):
     """The persisted IVF index serves queries by reading ONLY the probed
     lists' parquet files: rows_read ≪ index rows at small nprobe, == index

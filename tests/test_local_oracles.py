@@ -336,6 +336,15 @@ def test_pin_embeddings_ann_ivf_persisted(ray_session):
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
 
 
+def test_pin_embeddings_ann_lsh_persisted(ray_session):
+    """The persisted-index LSH path must return exactly the in-memory
+    ann_lsh rows (same planes/multiprobe; shared probe + merge kernels) —
+    so the pinned ``embeddings_ann_lsh`` oracle transitively covers it."""
+    a = Q.embeddings_ann_lsh_persisted(SF).reset_index(drop=True)
+    b = Q.embeddings_ann_lsh(SF).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
 def test_pin_embeddings_ann_ivf(ray_session):
     """Vendored driver-side IVF recomputation (same seeded k-means, same
     probe order, exact cosine over the probed lists) ≡ the Ray pipeline."""

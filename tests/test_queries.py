@@ -67,6 +67,7 @@ ROWS_ONLY = [
     "docs_fingerprint",
     "docs_minhash_clusters",
     "embeddings_ann_ivf_persisted",
+    "embeddings_ann_lsh_persisted",
     "docs_simhash",
     "url_canonicalize",
     "media_image_features",
