@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_ann_ivf": q.embeddings_ann_ivf,
         "embeddings_ann_ivf_persisted": q.embeddings_ann_ivf_persisted,
         "embeddings_ann_lsh_persisted": q.embeddings_ann_lsh_persisted,
+        "docs_dedup_fuzzy": q.docs_dedup_fuzzy,
         # crawl / url / media
         "url_canonicalize": q.url_canonicalize,
         "crawl_bfs_visited": q.crawl_bfs_visited,

@@ -640,3 +640,53 @@ def embedding_dup_pairs(
 
     pairs = exploded.groupby("bucket").map_groups(_pairs, batch_format="pandas")
     return dedup_pairs(pairs)
+
+
+def dedup_near_keep_first(
+    ds: Dataset,
+    docs_path: str,
+    threshold: float = 0.5,
+    n_hashes: int = 64,
+    bands: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_driver_pairs: int = 2_000_000,
+) -> Dataset:
+    """End-to-end near-duplicate REMOVAL: MinHash-LSH candidates → indexed
+    Jaccard verify → connected components → keep only each cluster's
+    min-id representative.  The whole path is corpus-streaming: candidate
+    and verify I/O ∝ pairs (row-group-pruned payload gather), components
+    run driver-side only while the verified pair set fits
+    (``max_driver_pairs``, else the iterative distributed CC), and the
+    final keep-first is ONE bucketed anti-join shuffle of the input
+    against the loser id set — document payloads never transit the
+    driver.  Returns the surviving rows of ``ds`` (all input columns)."""
+    import ray
+    import ray.data
+
+    from ..ops import anti_join_shuffled
+
+    pairs = minhash_lsh_candidates(
+        ds, n_hashes=n_hashes, bands=bands, id_col=id_col, text_col=text_col
+    )
+    verified = verify_pairs_jaccard_indexed(pairs, docs_path, threshold).materialize()
+    if verified.count() > max_driver_pairs:
+        cc = connected_components_distributed(verified)
+
+        def _losers(t: pa.Table) -> pa.Table:
+            keep = pc.not_equal(t["node"], t["cluster_id"])
+            return pa.table({id_col: t.filter(keep)["node"].cast(pa.int64())})
+
+        losers = cc.map_batches(_losers, batch_format="pyarrow")
+    else:
+        v = verified.to_pandas()
+        comp = connected_components(
+            list(zip(v["id_a"].astype(int), v["id_b"].astype(int)))
+            if len(v)
+            else []
+        )
+        loser_ids = sorted(n for n, c in comp.items() if n != c)
+        losers = ray.data.from_arrow(
+            pa.table({id_col: pa.array(loser_ids, pa.int64())})
+        )
+    return anti_join_shuffled(ds, losers, id_col)

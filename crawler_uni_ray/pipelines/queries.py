@@ -477,6 +477,20 @@ def docs_minhash_clusters(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def docs_dedup_fuzzy(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
+    """End-to-end near-duplicate REMOVAL: the surviving doc_ids after
+    MinHash-LSH clustering keeps only each cluster's min-id
+    representative (same params as ``docs_minhash_clusters``, so
+    survivors ≡ its rows with cluster_id == doc_id — the pinned local
+    oracle).  The keep-first is a distributed anti-join; no driver-side
+    corpus pass."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = fdedup.dedup_near_keep_first(
+        ds, _t(sf_dir, "documents"), threshold
+    ).to_pandas()
+    return out[["doc_id"]].sort_values("doc_id").reset_index(drop=True)
+
+
 def docs_simhash(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     out = fdedup.add_simhash(ds).to_pandas()[["doc_id", "simhash"]]

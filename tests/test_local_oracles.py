@@ -336,6 +336,22 @@ def test_pin_embeddings_ann_ivf_persisted(ray_session):
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
 
 
+def test_pin_docs_dedup_fuzzy(ray_session):
+    """Fuzzy-dedup survivors ≡ the minhash clustering's own
+    representatives (cluster_id == doc_id), computed with identical
+    LSH params — and strictly fewer rows than the corpus (the sf0.001
+    generator plants near-dup groups)."""
+    clusters = Q.docs_minhash_clusters(SF)
+    want = (
+        clusters.loc[clusters["cluster_id"] == clusters["doc_id"], ["doc_id"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    got = Q.docs_dedup_fuzzy(SF).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert len(got) < len(clusters)
+
+
 def test_pin_embeddings_ann_lsh_persisted(ray_session):
     """The persisted-index LSH path must return exactly the in-memory
     ann_lsh rows (same planes/multiprobe; shared probe + merge kernels) —

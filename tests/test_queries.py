@@ -66,6 +66,7 @@ ROWS_ONLY = [
     "docs_token_counts",
     "docs_fingerprint",
     "docs_minhash_clusters",
+    "docs_dedup_fuzzy",
     "embeddings_ann_ivf_persisted",
     "embeddings_ann_lsh_persisted",
     "docs_simhash",
