@@ -209,12 +209,14 @@ def bench_queries() -> dict:
         ("docs_repetition", q.docs_repetition),
         ("revenue_by_priority", q.revenue_by_priority),
         ("docs_tfidf_top", q.docs_tfidf_top),
+        ("docs_dedup_fuzzy", q.docs_dedup_fuzzy),
         ("embeddings_ann", q.embeddings_ann),
     ]:
         t0 = time.time()
         fn(SF_DIR)
         out[name] = round(time.time() - t0, 3)
     out["ann_200k"] = bench_ann_scale()
+    out.update(bench_ann_ivf_200k())
     return out
 
 
@@ -224,9 +226,21 @@ def bench_ann_scale(n: int = 200_000, dim: int = 64) -> float:
     distributed + deterministically (seeded per block) — exercises the
     broadcast-query / per-batch-top-k-combiner plan at real width."""
     import numpy as np
-    import ray.data
 
     from crawler_uni_ray.functions.similarity import ann_bruteforce
+
+    ds = _gen_vectors(n, dim)
+    q = np.random.default_rng(7).standard_normal((8, dim)).astype(np.float32)
+    t0 = time.time()
+    res = ann_bruteforce(ds, q, list(range(8)), k=10)
+    assert len(res) == 80, len(res)
+    return round(time.time() - t0, 3)
+
+
+def _gen_vectors(n: int, dim: int):
+    """Deterministic distributed vector table (seeded per block)."""
+    import numpy as np
+    import ray.data
 
     def _gen(b):
         ids = b["id"].astype(np.int64)
@@ -236,12 +250,35 @@ def bench_ann_scale(n: int = 200_000, dim: int = 64) -> float:
             "embedding": rng.standard_normal((len(ids), dim)).astype(np.float32),
         }
 
-    ds = ray.data.range(n, override_num_blocks=64).map_batches(_gen, batch_size=8192)
+    return ray.data.range(n, override_num_blocks=64).map_batches(_gen, batch_size=8192)
+
+
+def bench_ann_ivf_200k(n: int = 200_000, dim: int = 64) -> dict:
+    """The indexed-ANN scale story: build the persisted list-partitioned
+    IVF index ONCE over ``n`` vectors (one pass + k-means on a capped
+    sample), then serve 8 queries reading ONLY the probed lists' files —
+    query latency and I/O ∝ nprobe/n_centroids of the index, vs the full
+    scan every brute-force call pays."""
+    import shutil
+
+    import numpy as np
+
+    from crawler_uni_ray.functions.similarity import ann_ivf_persisted, write_ivf_index
+
+    ds = _gen_vectors(n, dim)
     q = np.random.default_rng(7).standard_normal((8, dim)).astype(np.float32)
+    idx = f"/tmp/graft_bench_ivf_{NUM_CPUS}"
+    shutil.rmtree(idx, ignore_errors=True)
     t0 = time.time()
-    res = ann_bruteforce(ds, q, list(range(8)), k=10)
+    write_ivf_index(ds, idx, n_centroids=64)
+    t_build = round(time.time() - t0, 3)
+    t0 = time.time()
+    res, stats = ann_ivf_persisted(idx, q, list(range(8)), k=10, nprobe=8)
+    t_query = round(time.time() - t0, 3)
     assert len(res) == 80, len(res)
-    return round(time.time() - t0, 3)
+    assert 0 < stats["rows_read"] < n, stats  # pruned read, not a scan
+    shutil.rmtree(idx, ignore_errors=True)
+    return {"ann_200k_ivf_build": t_build, "ann_200k_ivf_query": t_query}
 
 
 def _init_ray():
