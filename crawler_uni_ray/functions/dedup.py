@@ -134,6 +134,49 @@ def _pairs_from_groups(
     return pd.DataFrame(pairs, columns=["id_a", "id_b"])
 
 
+def _pairs_by_bucket(
+    exploded: Dataset,
+    kernel,
+    empty_cols: dict[str, str],
+    n_shards: int = 64,
+    bucket_col: str = "bucket",
+) -> Dataset:
+    """Run a per-bucket pair kernel WITHOUT one Ray group per distinct
+    bucket value: shuffle on ``bucket % n_shards`` (bounded group count —
+    a bucket's rows all share a shard), then inside each shard drop
+    singleton buckets with one vectorized ``duplicated`` pass and invoke
+    ``kernel`` only on multi-member buckets (true candidate collisions
+    are a vanishing fraction of buckets).  The naive
+    ``groupby(bucket).map_groups(kernel)`` paid ~50-100 µs of per-group
+    machinery on EVERY distinct band hash — ~80k groups on a 5k-doc
+    corpus (≈7 s), billions at 100 TB."""
+
+    def _shard(t: pa.Table) -> pa.Table:
+        b = np.asarray(t[bucket_col].to_numpy(zero_copy_only=False), dtype=np.int64)
+        return t.append_column("__shard", pa.array(b % n_shards))
+
+    def _group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["__shard"])
+        g = g[g.duplicated(bucket_col, keep=False)]
+        outs = (
+            [kernel(sub) for _, sub in g.groupby(bucket_col, sort=False)]
+            if len(g)
+            else []
+        )
+        outs = [o for o in outs if len(o)]
+        if not outs:
+            return pd.DataFrame(
+                {c: pd.Series(dtype=d) for c, d in empty_cols.items()}
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    return (
+        exploded.map_batches(_shard, batch_format="pyarrow")
+        .groupby("__shard")
+        .map_groups(_group, batch_format="pandas")
+    )
+
+
 def minhash_lsh_candidates(
     ds: Dataset,
     text_col: str = "text",
@@ -144,9 +187,14 @@ def minhash_lsh_candidates(
 ) -> Dataset:
     """Candidate near-dup pairs via MinHash banding: sig → (band, band
     hash) rows → bucket groupby → within-bucket pairs, deduped."""
+    from ..util import ensure_min_blocks
+
     assert n_hashes % bands == 0
     rows_per_band = n_hashes // bands
     a, b = _minhash_params(n_hashes)
+    # per-doc shingle+minhash is the CPU-heavy stage: make sure a
+    # single-file input doesn't run it as one task
+    ds = ensure_min_blocks(ds)
 
     def _sig(df: pd.DataFrame) -> pa.Table:
         out_id, out_band, out_bh = [], [], []
@@ -174,7 +222,7 @@ def minhash_lsh_candidates(
             return pd.DataFrame({"id_a": [], "id_b": []})
         return _pairs_from_groups(g, id_col)
 
-    pairs = exploded.groupby("bucket").map_groups(_pairs, batch_format="pandas")
+    pairs = _pairs_by_bucket(exploded, _pairs, {"id_a": "int64", "id_b": "int64"})
 
     def _cast(t: pa.Table) -> pa.Table:
         return pa.Table.from_arrays(
@@ -486,11 +534,13 @@ def simhash_batch(texts, n_bits: int = 64) -> np.ndarray:
 
 
 def add_simhash(ds: Dataset, text_col: str = "text") -> Dataset:
+    from ..util import ensure_min_blocks
+
     def _f(df: pd.DataFrame) -> pd.DataFrame:
         df["simhash"] = simhash_batch(df[text_col]).astype("uint64").astype("int64")
         return df
 
-    return ds.map_batches(_f, batch_format="pandas")
+    return ensure_min_blocks(ds).map_batches(_f, batch_format="pandas")
 
 
 def simhash_dup_pairs(
@@ -550,7 +600,9 @@ def simhash_dup_pairs(
                 out["hamming"].append(d)
         return pd.DataFrame(out)
 
-    pairs = exploded.groupby("bucket").map_groups(_pairs, batch_format="pandas")
+    pairs = _pairs_by_bucket(
+        exploded, _pairs, {"id_a": "int64", "id_b": "int64", "hamming": "int64"}
+    )
     return dedup_pairs(pairs)
 
 
@@ -571,8 +623,11 @@ def embedding_dup_pairs(
     vectors at cosine ≥ t collide with prob (1 - acos(t)/π)^n_planes per
     code; for recall, also emit codes with each single bit flipped
     (multi-probe)."""
+    from ..util import ensure_min_blocks
+
     rng = np.random.RandomState(seed)
     planes = rng.normal(size=(dim, n_planes))
+    ds = ensure_min_blocks(ds)
 
     def _explode(df: pd.DataFrame) -> pa.Table:
         vecs = np.stack(df[vec_col].to_numpy())
@@ -638,7 +693,9 @@ def embedding_dup_pairs(
         )
         return out
 
-    pairs = exploded.groupby("bucket").map_groups(_pairs, batch_format="pandas")
+    pairs = _pairs_by_bucket(
+        exploded, _pairs, {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+    )
     return dedup_pairs(pairs)
 
 

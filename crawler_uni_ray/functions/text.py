@@ -150,12 +150,14 @@ def fingerprint_text(text: str, window: int = 4) -> int:
 
 
 def add_fingerprint(ds: Dataset, text_col: str = "text", window: int = 4) -> Dataset:
+    from ..util import ensure_min_blocks
+
     def _f(df: pd.DataFrame) -> pd.DataFrame:
         fp = fingerprint_batch(df[text_col].tolist(), window)
         df["fingerprint"] = (fp & np.uint64(0x7FFFFFFFFFFFFFFF)).astype("int64")
         return df
 
-    return ds.map_batches(_f, batch_format="pandas")
+    return ensure_min_blocks(ds).map_batches(_f, batch_format="pandas")
 
 
 def text_stats(ds: Dataset, id_col: str = "doc_id", text_col: str = "text") -> Dataset:

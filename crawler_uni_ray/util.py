@@ -98,3 +98,26 @@ def cached_get(ref, build: Callable[[Any], Any] | None = None, key: str | None =
         obj = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
         _PROC_CACHE[k] = build(obj) if build is not None else obj
     return _PROC_CACHE[k]
+
+
+def ensure_min_blocks(ds, min_blocks: int | None = None):
+    """Repartition ONLY when the plan starts with fewer blocks than the
+    cluster can use: a single-file (single-row-group) input otherwise runs
+    a CPU-heavy per-doc stage as ONE task — zero parallelism regardless of
+    cluster size.  At scale inputs are already many-blocked and this is a
+    no-op (no shuffle added).  ``min_blocks`` defaults to the cluster CPU
+    count."""
+    import ray
+
+    if min_blocks is None:
+        try:
+            min_blocks = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            return ds
+    try:
+        n = ds._plan.initial_num_blocks()
+    except Exception:
+        return ds
+    if n is not None and 0 < n < min_blocks:
+        return ds.repartition(min_blocks)
+    return ds
