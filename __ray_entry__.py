@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_ann_ivf_persisted": q.embeddings_ann_ivf_persisted,
         "embeddings_ann_lsh_persisted": q.embeddings_ann_lsh_persisted,
         "docs_dedup_fuzzy": q.docs_dedup_fuzzy,
+        "docs_training_pipeline": q.docs_training_pipeline,
         # crawl / url / media
         "url_canonicalize": q.url_canonicalize,
         "crawl_bfs_visited": q.crawl_bfs_visited,

@@ -477,6 +477,31 @@ def docs_minhash_clusters(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def docs_training_pipeline(sf_dir: str, min_quality: float = 0.6) -> pd.DataFrame:
+    """Flagship LLM training-data composition — normalize → language ID →
+    quality gate (drop score < ``min_quality``) → exact dedup on the
+    NORMALIZED text (keep min doc_id) → MinHash near-dedup keep-first →
+    token counts — all in one streaming Dataset chain.  Returns the
+    surviving corpus's per-doc metadata.  Pinned local oracle recomposes
+    each stage driver-side from the independently-verified ops."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = ftext.add_text_normalized(ds)
+    ds = ftext.add_lang_id(ds)
+    ds = ftext.add_quality_score(ds)
+
+    def _gate(t):
+        import pyarrow.compute as _pc
+
+        return t.filter(_pc.greater_equal(t["quality"], min_quality))
+
+    ds = ds.map_batches(_gate, batch_format="pyarrow")
+    ds = fdedup.exact_dedup(ds, text_col="text_norm")
+    ds = fdedup.dedup_near_keep_first(ds, _t(sf_dir, "documents"))
+    ds = ftext.add_token_counts(ds)
+    out = ds.to_pandas()[["doc_id", "lang_pred", "quality", "n_tokens"]]
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def docs_dedup_fuzzy(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
     """End-to-end near-duplicate REMOVAL: the surviving doc_ids after
     MinHash-LSH clustering keeps only each cluster's min-id

@@ -336,6 +336,70 @@ def test_pin_embeddings_ann_ivf_persisted(ray_session):
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
 
 
+def _fuzzy_survivor_ids(docs: pd.DataFrame, ids: set[int], threshold: float = 0.5):
+    """Vendored driver recompute of the near-dedup keep-first over a doc-id
+    subset (same banding/verify kernels as test_pin_docs_minhash_clusters)."""
+    sub = docs[docs["doc_id"].isin(ids)]
+    a, b = fdedup._minhash_params(64)
+    buckets: dict = {}
+    for d, t in zip(sub["doc_id"], sub["text"]):
+        sig = fdedup.minhash_signature(fdedup._shingle_hashes(t), a, b)
+        for band in range(16):
+            chunk = sig[band * 4 : (band + 1) * 4]
+            bh = hashlib.md5(chunk.tobytes() + bytes([band])).digest()
+            buckets.setdefault(int.from_bytes(bh[:8], "little") >> 1, set()).add(int(d))
+    pairs = set()
+    for members in buckets.values():
+        ms = sorted(members)
+        if len(ms) > fdedup.MAX_BUCKET_MEMBERS:
+            pairs.update((ms[0], m) for m in ms[1:])
+            pairs.update(zip(ms[1:-1], ms[2:]))
+        else:
+            pairs.update((x, y) for i, x in enumerate(ms) for y in ms[i + 1 :])
+    ss = _shingle_sets(sub)
+    verified = [
+        (x, y)
+        for x, y in pairs
+        if round(
+            1.0
+            if not ss[x] and not ss[y]
+            else len(ss[x] & ss[y]) / max(1, len(ss[x] | ss[y])),
+            6,
+        )
+        >= threshold
+    ]
+    comp = fdedup.connected_components(verified)
+    return {i for i in ids if comp.get(i, i) == i}
+
+
+def test_pin_docs_training_pipeline(ray_session, docs):
+    """The flagship composition recomposed driver-side from the
+    independently-pinned/SQL-green component queries: quality gate →
+    exact dedup on text_norm (min id per distinct value) → vendored
+    near-dedup keep-first → join lang/quality/token metadata."""
+    got = Q.docs_training_pipeline(SF)
+    quality = Q.docs_quality(SF).set_index("doc_id")["quality"]
+    norm = Q.docs_normalize(SF).set_index("doc_id")["text_norm"]
+    gated = set(quality[quality >= 0.6].index)
+    nsub = norm[norm.index.isin(gated)].reset_index()
+    exact_keep = set(nsub.groupby("text_norm")["doc_id"].min())
+    survivors = _fuzzy_survivor_ids(docs, exact_keep)
+    lang = Q.docs_langid(SF).set_index("doc_id")["lang_pred"]
+    toks = Q.docs_token_counts(SF).set_index("doc_id")["n_tokens"]
+    want = pd.DataFrame(
+        {
+            "doc_id": sorted(survivors),
+        }
+    )
+    want["lang_pred"] = want["doc_id"].map(lang)
+    want["quality"] = want["doc_id"].map(quality)
+    want["n_tokens"] = want["doc_id"].map(toks)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want, check_dtype=False
+    )
+    assert 0 < len(got) < len(docs)  # the gate and both dedups actually bit
+
+
 def test_pin_docs_dedup_fuzzy(ray_session):
     """Fuzzy-dedup survivors ≡ the minhash clustering's own
     representatives (cluster_id == doc_id), computed with identical
