@@ -32,21 +32,14 @@ except Exception:  # pragma: no cover - best-effort hardening
 
 
 def entry() -> Any:
-    """Flagship on /root/testdata/sf0.001: document pipeline — language ID
-    → quality scoring → token counts → content hash — one streaming pass,
-    plus the BFS crawl demo feeding the same schema checks in tests."""
-    import ray.data
+    """Flagship on /root/testdata/sf0.001: the full training-data pipeline
+    — normalize → language ID → quality gate → exact dedup (normalized
+    text) → MinHash near-dedup keep-first → token counts — one streaming
+    Dataset chain (pinned oracle: tests/test_local_oracles.py::
+    test_pin_docs_training_pipeline)."""
+    from crawler_uni_ray.pipelines import queries as q
 
-    from crawler_uni_ray.functions import text as ftext
-
-    ds = ray.data.read_parquet(
-        "/root/testdata/sf0.001/documents.parquet",
-        columns=["doc_id", "text", "lang", "n_chars"],
-    )
-    ds = ftext.add_token_counts(ds)
-    ds = ftext.add_lang_id(ds)
-    ds = ftext.add_quality_score(ds)
-    return ds
+    return q.docs_training_pipeline("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

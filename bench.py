@@ -217,7 +217,51 @@ def bench_queries() -> dict:
         out[name] = round(time.time() - t0, 3)
     out["ann_200k"] = bench_ann_scale()
     out.update(bench_ann_ivf_200k())
+    out.update(bench_dedup_scale())
     return out
+
+
+def bench_dedup_scale(n: int = 100_000) -> dict:
+    """Near-dedup at corpus scale (the sf0.1 documents table is only 5k
+    rows): MinHash-LSH candidates → row-group-pruned Jaccard verify over
+    ``n`` generated docs with ~1 planted near-dup pair per 100-doc group
+    (1.6M band rows through the sharded pair generation).  The corpus is
+    generated distributed + deterministically and cached on disk."""
+    import numpy as np
+    import ray.data
+
+    from crawler_uni_ray.functions import dedup as fd
+
+    path = f"/tmp/graft_dedup_corpus_{n}"
+    if not os.path.isdir(path):
+        vocab = np.array([f"w{i:04d}" for i in range(5000)], dtype=object)
+
+        def _gen(b):
+            ids = b["id"].astype(np.int64)
+            rng = np.random.default_rng(int(ids[0]) + 999)
+            texts = []
+            for i in ids:
+                if int(i) % 100 < 2:  # 2 docs per 100-group share one text
+                    r2 = np.random.default_rng(int(i) // 100 * 100)
+                    texts.append(" ".join(vocab[r2.integers(0, len(vocab), 80)]))
+                else:
+                    texts.append(" ".join(vocab[rng.integers(0, len(vocab), 80)]))
+            return {"doc_id": ids, "text": np.array(texts, dtype=object)}
+
+        tmp = path + ".build"
+        shutil.rmtree(tmp, ignore_errors=True)
+        ray.data.range(n, override_num_blocks=64).map_batches(
+            _gen, batch_size=4096
+        ).write_parquet(tmp)
+        os.rename(tmp, path)
+    ds = ray.data.read_parquet(path, columns=["doc_id", "text"])
+    t0 = time.time()
+    pairs = fd.minhash_lsh_candidates(ds)
+    verified = fd.verify_pairs_jaccard_indexed(pairs, path, 0.5)
+    n_pairs = verified.count()
+    dt = round(time.time() - t0, 3)
+    assert n_pairs >= n // 100, n_pairs  # every planted dup pair found
+    return {"dedup_100k_sec": dt, "dedup_100k_pairs": n_pairs}
 
 
 def bench_ann_scale(n: int = 200_000, dim: int = 64) -> float:
