@@ -170,11 +170,12 @@ def test_pin_docs_minhash_clusters(ray_session, docs):
     a, b = fdedup._minhash_params(64)
     buckets: dict = {}
     for d, t in zip(docs["doc_id"], docs["text"]):
+        # per-doc signature path (cross-checks the engine's batched
+        # minhash_signatures_batch) + the shared band-hash kernel
         sig = fdedup.minhash_signature(fdedup._shingle_hashes(t), a, b)
+        codes = fdedup.band_bucket_hashes(sig[None, :], 16)[0]
         for band in range(16):
-            chunk = sig[band * 4 : (band + 1) * 4]
-            bh = hashlib.md5(chunk.tobytes() + bytes([band])).digest()
-            buckets.setdefault(int.from_bytes(bh[:8], "little") >> 1, set()).add(int(d))
+            buckets.setdefault(int(codes[band]), set()).add(int(d))
     pairs = set()
     for members in buckets.values():
         ms = sorted(members)
@@ -344,10 +345,9 @@ def _fuzzy_survivor_ids(docs: pd.DataFrame, ids: set[int], threshold: float = 0.
     buckets: dict = {}
     for d, t in zip(sub["doc_id"], sub["text"]):
         sig = fdedup.minhash_signature(fdedup._shingle_hashes(t), a, b)
+        codes = fdedup.band_bucket_hashes(sig[None, :], 16)[0]
         for band in range(16):
-            chunk = sig[band * 4 : (band + 1) * 4]
-            bh = hashlib.md5(chunk.tobytes() + bytes([band])).digest()
-            buckets.setdefault(int.from_bytes(bh[:8], "little") >> 1, set()).add(int(d))
+            buckets.setdefault(int(codes[band]), set()).add(int(d))
     pairs = set()
     for members in buckets.values():
         ms = sorted(members)
