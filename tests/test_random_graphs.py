@@ -68,3 +68,32 @@ def test_random_graph_with_budget(ray_session, tmp_path, seed):
     )
     eng.run()
     assert eng.visited_depth() == oracle.visited_depth
+
+
+@pytest.mark.parametrize("seed", [17, 23])
+def test_random_graph_budget_salted_indegree(ray_session, tmp_path, seed):
+    """The full [NR] scheduling stack on adversarial graphs: politeness
+    budget + hot-host salting (skew_threshold=1 forces EVERY host through
+    the fused salted scheduler's two-stage in-stream plan) + indegree
+    priorities — distributed path only.  Engine ≡ oracle per-depth sets is
+    the strongest semantic check the salted re-trim must pass."""
+    corpus = random_corpus(seed, n_urls=60)
+    oracle = crawl_oracle(
+        corpus, DOMAIN, max_per_host_per_level=2, priority_policy="indegree"
+    )
+    eng = CrawlEngine(
+        CrawlConfig(
+            domain=DOMAIN,
+            ckpt_dir=str(tmp_path / f"c{seed}"),
+            corpus_dict=corpus,
+            budget=2,
+            skew_threshold=1,
+            n_salts=4,
+            priority_policy="indegree",
+            small_level_rows=0,
+        )
+    )
+    eng.run()
+    assert eng.visited_depth() == oracle.visited_depth
+    links = [r["url"] for r in eng.all_links_sorted().take_all()]
+    assert links == oracle.sorted_links
