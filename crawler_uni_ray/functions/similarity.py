@@ -18,6 +18,7 @@ import heapq
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import ray
 from ray.data import Dataset
 
@@ -79,6 +80,17 @@ def derive_sample_mod(n_rows: int, max_sample_rows: int = 100_000) -> int:
     return max(1, -(-int(n_rows) // int(max_sample_rows)))
 
 
+def _id_hash_mask(ids: np.ndarray, mod: int) -> np.ndarray:
+    """Deterministic Bernoulli(1/mod) row mask from a Fibonacci hash of the
+    id — NOT ``id % mod``: structured id spaces (e.g. every id a multiple
+    of the derived mod) would defeat a raw modulus and collect far more
+    than the intended sample (ADVICE r3)."""
+    h = np.asarray(ids, dtype=np.int64).astype(np.uint64) * np.uint64(
+        0x9E3779B97F4A7C15
+    )
+    return ((h >> np.uint64(33)) % np.uint64(mod)) == 0
+
+
 def kmeans_centroids(
     ds: Dataset,
     n_centroids: int = 16,
@@ -89,24 +101,30 @@ def kmeans_centroids(
     id_col: str = "vec_id",
     max_sample_rows: int = 100_000,
 ) -> np.ndarray:
-    """Spherical k-means over a bounded deterministic sample (rows with
-    ``id % sample_mod == 0``) — the IVF coarse quantizer.  The sample is
-    collected once to the driver; Lloyd iterations run driver-side on it.
-    ``sample_mod=None`` (default) derives the mod from ``ds.count()`` so
-    the collected sample stays ≤ ``max_sample_rows`` at ANY corpus scale —
-    the bound is enforced in code, not left to the caller (round 2's
-    default collected the entire table).  Deterministic: seeded init,
-    stable assignment tie-break (argmax takes the lowest index)."""
+    """Spherical k-means over a bounded deterministic sample (rows whose
+    id-HASH ≡ 0 mod ``sample_mod`` — see :func:`_id_hash_mask`) — the IVF
+    coarse quantizer.  The sample is collected once to the driver; Lloyd
+    iterations run driver-side on it.  ``sample_mod=None`` (default)
+    derives the mod from ``ds.count()`` so the collected sample stays ≤
+    ``max_sample_rows`` at ANY corpus scale — enforced in code by a final
+    driver-side truncation (hash sampling is ~1/mod but not exact;
+    ADVICE r3: a raw ``id % mod`` filter could collect the whole table on
+    structured id spaces).  Deterministic: seeded init, stable assignment
+    tie-break (argmax takes the lowest index)."""
     if sample_mod is None:
         sample_mod = derive_sample_mod(ds.count(), max_sample_rows)
     sampled = ds.select_columns([id_col, vec_col])
     if sample_mod > 1:
 
         def _keep(df: pd.DataFrame) -> pd.DataFrame:
-            return df[df[id_col].to_numpy() % sample_mod == 0]
+            return df[_id_hash_mask(df[id_col].to_numpy(), sample_mod)]
 
         sampled = sampled.map_batches(_keep, batch_format="pandas")
     rows = sampled.to_pandas()
+    if len(rows) > max_sample_rows:
+        # hash-sample binomial overshoot (or mod=1 edge): hard-cap
+        # deterministically on the smallest ids
+        rows = rows.nsmallest(max_sample_rows, id_col)
     # introspection hook for tests: prove the driver collect stayed bounded
     kmeans_centroids.last_sample_rows = len(rows)
     mat = _normalize(_as_matrix(rows.sort_values(id_col)[vec_col].to_numpy()))
@@ -135,6 +153,14 @@ def build_ivf_index(
     cref = ray.put(np.asarray(centroids, dtype=np.float32))
 
     def _assign(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:  # zero-row batch: np.stack would raise (ADVICE r3)
+            return pd.DataFrame(
+                {
+                    id_col: pd.Series(dtype="int64"),
+                    "ivf_list": pd.Series(dtype="int64"),
+                    vec_col: pd.Series(dtype=object),
+                }
+            )
         c = cached_get(cref)
         mat = _normalize(_as_matrix(df[vec_col].to_numpy()))
         assign = np.argmax(mat @ c.T, axis=1).astype(np.int64)
@@ -241,6 +267,78 @@ def ann_ivf(
     return _ivf_search(indexed, order, qmat, query_ids, k, vec_col, id_col)
 
 
+def _write_partitioned_index(
+    indexed: Dataset,
+    base_dir: str,
+    part_col: str,
+    dir_prefix: str,
+    vec_col: str,
+    id_col: str,
+    n_shards: int = 32,
+) -> None:
+    """Persist an (id, vec, partition) dataset as ``{dir_prefix}_NNNN/``
+    parquet dirs — retry-idempotent and fan-out-bounded (VERDICT r3 #1):
+
+    * ONE bucketed shuffle on ``part % n_shards`` co-locates each
+      partition value's rows in a single group task, so every partition
+      dir holds exactly ONE file — fan-out ∝ partition values, never
+      tasks × values (the old per-map-task writer exploded LSH into
+      2^n_planes dirs × one file per task).
+    * Each group writes its partitions id-sorted under a DETERMINISTIC
+      name via tmp → ``os.rename``: a retried / speculatively re-executed
+      group regenerates byte-identical content under the same name — no
+      duplicate vectors, no torn files (the ``_side_write_results``
+      discipline, pipelines/crawl.py).
+
+    Two persisted-format choices (both read-back traps, kept from the
+    original writers): vectors as PLAIN ``fixed_size_list<float32>`` (a
+    pandas ndarray block would round-trip through Ray's tensor extension
+    and poison future reads) and ``{prefix}_NNNN`` naming, not hive
+    ``col=N`` (``=`` dirs trigger hive-partition inference on read-back).
+    """
+    import os
+
+    import pyarrow.parquet as _wpq
+
+    def _shard(t: pa.Table) -> pa.Table:
+        b = np.asarray(t[part_col].to_numpy(), dtype=np.int64) % n_shards
+        return t.replace_schema_metadata(None).append_column(
+            "__shard", pa.array(b)
+        )
+
+    def _write_group(g: pd.DataFrame) -> pd.DataFrame:
+        parts = g[part_col].to_numpy()
+        for pv in np.unique(parts):
+            sub = g[parts == pv].sort_values(id_col)
+            mat = np.stack(sub[vec_col].to_numpy()).astype(np.float32)
+            t = pa.table(
+                {
+                    id_col: pa.array(sub[id_col].to_numpy()),
+                    vec_col: pa.FixedSizeListArray.from_arrays(
+                        pa.array(mat.ravel(), pa.float32()), mat.shape[1]
+                    ),
+                }
+            )
+            d = os.path.join(base_dir, f"{dir_prefix}_{int(pv):04d}")
+            os.makedirs(d, exist_ok=True)
+            final = os.path.join(d, "part-00000.parquet")
+            tmpf = f"{final}.{os.getpid()}.tmp"
+            _wpq.write_table(t, tmpf, row_group_size=4096)
+            os.rename(tmpf, final)
+        return pd.DataFrame({"n": [len(g)]})
+
+    # consume the write pipeline (tiny count rows only reach the driver)
+    (
+        indexed.map_batches(_shard, batch_format="pyarrow")
+        .groupby("__shard")
+        .map_groups(
+            lambda g: _write_group(g.drop(columns=["__shard"])),
+            batch_format="pandas",
+        )
+        .sum("n")
+    )
+
+
 def write_ivf_index(
     ds: Dataset,
     index_dir: str,
@@ -258,10 +356,9 @@ def write_ivf_index(
     I/O ∝ probed lists, the same file-pruning discipline as the corpus
     fetch (stages/fetch.py ``_PartitionIndex``).  At 100 TB the build is
     one pass over the corpus; every subsequent query touches ~nprobe/
-    n_centroids of the index."""
+    n_centroids of the index.  Written via the retry-idempotent bounded
+    writer :func:`_write_partitioned_index`."""
     import os
-
-    import pyarrow as _pa
 
     cent = kmeans_centroids(
         ds, n_centroids=n_centroids, n_iters=n_iters, seed=seed,
@@ -270,39 +367,9 @@ def write_ivf_index(
     indexed = build_ivf_index(ds, cent, vec_col=vec_col, id_col=id_col)
     lists_dir = os.path.join(index_dir, "lists")
     os.makedirs(lists_dir, exist_ok=True)
-
-    def _write_lists(df: pd.DataFrame) -> pd.DataFrame:
-        # each task side-writes its rows grouped by list id into
-        # ``lists/list_NNNN/`` dirs.  Two deliberate choices: (a) the
-        # vectors persist as PLAIN fixed_size_list<float32> — a pandas
-        # block of ndarrays would round-trip through Ray's tensor
-        # extension type and poison every future read of the files with
-        # extension metadata; (b) ``list_NNNN`` naming, not hive
-        # ``ivf_list=N`` — ``=`` dirs trigger hive-partition inference on
-        # read-back (schema clash with the pruned file-list reads).
-        import uuid
-
-        import pyarrow.parquet as _wpq
-
-        lists = df["ivf_list"].to_numpy()
-        for lid in np.unique(lists):
-            sub = df[lists == lid]
-            mat = np.stack(sub[vec_col].to_numpy()).astype(np.float32)
-            t = _pa.table(
-                {
-                    id_col: _pa.array(sub[id_col].to_numpy()),
-                    vec_col: _pa.FixedSizeListArray.from_arrays(
-                        _pa.array(mat.ravel(), _pa.float32()), mat.shape[1]
-                    ),
-                }
-            )
-            d = os.path.join(lists_dir, f"list_{int(lid):04d}")
-            os.makedirs(d, exist_ok=True)
-            _wpq.write_table(t, os.path.join(d, f"part-{uuid.uuid4().hex[:12]}.parquet"))
-        return pd.DataFrame({"n": [len(df)]})
-
-    # consume the write pipeline (tiny count rows only reach the driver)
-    indexed.map_batches(_write_lists, batch_format="pandas").sum("n")
+    _write_partitioned_index(
+        indexed, lists_dir, "ivf_list", "list", vec_col, id_col
+    )
     np.save(os.path.join(index_dir, "centroids.npy"), cent)
     return cent
 
@@ -358,6 +425,8 @@ def ann_ivf_persisted(
         # columns of ndarrays
         import pyarrow as _pa
 
+        if len(t) == 0:  # reshape(-1) can't infer from size 0 (ADVICE r3)
+            return t.append_column("ivf_list", _pa.array([], _pa.int64()))
         c = cached_get(cref)
         col = t[vec_col].combine_chunks()
         mat = np.asarray(col.flatten(), dtype=np.float32).reshape(len(t), -1)
@@ -478,45 +547,20 @@ def write_lsh_index(
     fixed_size_list + non-hive naming discipline as
     :func:`write_ivf_index`).  Queries served via
     :func:`ann_lsh_persisted` read only their multiprobe buckets' files —
-    I/O ∝ probed buckets.  At sandbox scale most of the 2^n_planes dirs
-    hold a handful of rows; at 100 TB each bucket is a real partition and
-    the probe-pruned read is the point."""
+    I/O ∝ probed buckets.  Written via the retry-idempotent bounded writer
+    :func:`_write_partitioned_index`: exactly ONE file per bucket, so the
+    2^n_planes bucket dirs no longer multiply by the task count (the
+    round-3 small-file explosion)."""
     import os
-
-    import pyarrow as _pa
 
     indexed, planes = build_lsh_index(
         ds, n_planes=n_planes, seed=seed, dim=dim, vec_col=vec_col, id_col=id_col
     )
     buckets_dir = os.path.join(index_dir, "buckets")
     os.makedirs(buckets_dir, exist_ok=True)
-
-    def _write_buckets(df: pd.DataFrame) -> pd.DataFrame:
-        import uuid
-
-        import pyarrow.parquet as _wpq
-
-        codes = df["bucket"].to_numpy()
-        for code in np.unique(codes):
-            sub = df[codes == code]
-            mat = np.stack(sub[vec_col].to_numpy()).astype(np.float32)
-            t = _pa.table(
-                {
-                    id_col: _pa.array(sub[id_col].to_numpy()),
-                    vec_col: _pa.FixedSizeListArray.from_arrays(
-                        _pa.array(mat.ravel(), _pa.float32()), mat.shape[1]
-                    ),
-                }
-            )
-            d = os.path.join(buckets_dir, f"bucket_{int(code):04d}")
-            os.makedirs(d, exist_ok=True)
-            _wpq.write_table(
-                t, os.path.join(d, f"part-{uuid.uuid4().hex[:12]}.parquet")
-            )
-        return pd.DataFrame({"n": [len(df)]})
-
-    # consume the write pipeline (tiny count rows only reach the driver)
-    indexed.map_batches(_write_buckets, batch_format="pandas").sum("n")
+    _write_partitioned_index(
+        indexed, buckets_dir, "bucket", "bucket", vec_col, id_col
+    )
     np.save(os.path.join(index_dir, "planes.npy"), planes)
     return planes
 
@@ -568,6 +612,8 @@ def ann_lsh_persisted(
     pref = ray.put((np.asarray(planes, dtype=np.float32), qmat, probe_sets))
 
     def _partial(t) -> pd.DataFrame:
+        if len(t) == 0:  # reshape(-1) can't infer from size 0 (ADVICE r3)
+            return pd.DataFrame({"qi": [], "neighbor_id": [], "cosine": []})
         p, qm, probes_per_q = cached_get(pref)
         col = t[vec_col].combine_chunks()
         mat = np.asarray(col.flatten(), dtype=np.float32).reshape(len(t), -1)

@@ -552,13 +552,16 @@ class CrawlEngine:
             if (
                 hot is None
                 and cfg.skew_threshold is not None
-                and n_frontier > cfg.skew_threshold
+                and (n_frontier < 0 or n_frontier > cfg.skew_threshold)
             ):
                 # no side-written counts (level 0 / resume / small-path
                 # predecessor): one count pass over the frontier urls — a
                 # pre-seen-filter upper bound, which only ever salts MORE
                 # hosts; skipped when the whole frontier is below the
-                # threshold (no host can be hot)
+                # threshold (no host can be hot).  Unknown size
+                # (n_frontier < 0, e.g. process_frontier without a count)
+                # is treated as LARGE — silently skipping the count would
+                # disable salting exactly when it matters (ADVICE r3)
                 hc = host_counts(frontier)
                 hot = set(hc.loc[hc["n"] > cfg.skew_threshold, "host"])
             deferred_dir = self._lvl(k, "deferred")

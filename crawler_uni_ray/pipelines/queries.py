@@ -46,6 +46,19 @@ def _read(sf_dir: str, name: str, columns: list[str] | None = None):
     return ray.data.read_parquet(path, schema=schema, columns=columns)
 
 
+def _index_cache_tag(sf_dir: str, table: str = "embeddings") -> str:
+    """Cache tag for persisted-ANN index dirs under /tmp: the source
+    path PLUS the table file's (size, mtime_ns) — so regenerating the
+    corpus at the same path invalidates the cached index instead of
+    silently serving results computed from the old data (ADVICE r3)."""
+    import hashlib
+
+    p = _t(sf_dir, table)
+    st = os.stat(p)
+    key = f"{os.path.abspath(p)}:{st.st_size}:{st.st_mtime_ns}"
+    return hashlib.sha1(key.encode()).hexdigest()[:12]
+
+
 def _ensure_cols(df: pd.DataFrame, cols: dict[str, str]) -> pd.DataFrame:
     """An all-rows-filtered Ray result loses its schema in pandas; rebuild
     the expected (empty) frame so downstream sorts/compares hold."""
@@ -586,12 +599,10 @@ def embeddings_ann_ivf_persisted(sf_dir: str, k: int = 10) -> pd.DataFrame:
     nprobe/n_centroids of the index, not the corpus (VERDICT r2 next-round
     #4).  Same centroids/params as ``embeddings_ann_ivf`` → identical
     rows (shared search kernel)."""
-    import hashlib
     import shutil
 
     qmat, qids = _query_vectors(sf_dir)
-    tag = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    idx_dir = os.path.join("/tmp", f"graft_ivf_{tag}")
+    idx_dir = os.path.join("/tmp", f"graft_ivf_{_index_cache_tag(sf_dir)}")
     if not os.path.isfile(os.path.join(idx_dir, "centroids.npy")):
         ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
         tmp = idx_dir + ".build"
@@ -609,12 +620,10 @@ def embeddings_ann_lsh_persisted(sf_dir: str, k: int = 10) -> pd.DataFrame:
     query reads only its multiprobe buckets' parquet files.  Same planes/
     multiprobe as ``embeddings_ann_lsh`` → identical rows (shared probe +
     merge kernels)."""
-    import hashlib
     import shutil
 
     qmat, qids = _query_vectors(sf_dir)
-    tag = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    idx_dir = os.path.join("/tmp", f"graft_lsh_{tag}")
+    idx_dir = os.path.join("/tmp", f"graft_lsh_{_index_cache_tag(sf_dir)}")
     if not os.path.isfile(os.path.join(idx_dir, "planes.npy")):
         ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
         tmp = idx_dir + ".build"

@@ -354,6 +354,68 @@ def test_ann_ivf_persisted_prunes_io_and_matches(ray_session, tmp_path):
     )
 
 
+def test_persisted_index_writers_idempotent_and_bounded(ray_session, tmp_path):
+    """VERDICT r3 #1: replaying the index write (the task-retry scenario)
+    must leave the persisted index BIT-identical — deterministic
+    content-derived file names + tmp→rename, no duplicate vectors under
+    fresh uuid names — and each list/bucket dir holds exactly ONE file
+    (fan-out ∝ partition values, not write tasks × values)."""
+    import hashlib
+    import os
+
+    import ray.data as rd
+
+    from crawler_uni_ray.functions import similarity as fsim
+
+    emb = pd.read_parquet(
+        "/root/testdata/sf0.001/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    q = emb[emb["vec_id"] < 8].sort_values("vec_id")
+    qmat = np.stack(q["embedding"].to_numpy()).astype(np.float64)
+    qids = q["vec_id"].tolist()
+    # many tiny blocks → the old writer would have written one file per
+    # (task, partition); the bounded writer must still emit one per partition
+    ds = rd.from_pandas(emb).repartition(8)
+
+    def _snapshot(root: str) -> dict[str, str]:
+        out = {}
+        for dirpath, _dirs, files in os.walk(root):
+            for f in sorted(files):
+                p = os.path.join(dirpath, f)
+                with open(p, "rb") as fh:
+                    out[os.path.relpath(p, root)] = hashlib.sha1(
+                        fh.read()
+                    ).hexdigest()
+        return out
+
+    for fam, write, query in (
+        (
+            "ivf",
+            lambda d: fsim.write_ivf_index(ds, d, n_centroids=8),
+            lambda d: fsim.ann_ivf_persisted(d, qmat, qids, k=10, nprobe=2),
+        ),
+        (
+            "lsh",
+            lambda d: fsim.write_lsh_index(ds, d, n_planes=6),
+            lambda d: fsim.ann_lsh_persisted(d, qmat, qids, k=10),
+        ),
+    ):
+        idx = str(tmp_path / fam)
+        write(idx)
+        first = _snapshot(idx)
+        res1, _ = query(idx)
+        write(idx)  # replay == the retry/speculative re-execution scenario
+        assert _snapshot(idx) == first, f"{fam}: replayed write changed the index"
+        res2, _ = query(idx)
+        pd.testing.assert_frame_equal(res1, res2)
+        # bounded fan-out: exactly one file per list/bucket dir
+        sub = os.path.join(idx, "lists" if fam == "ivf" else "buckets")
+        for d in os.listdir(sub):
+            files = [f for f in os.listdir(os.path.join(sub, d)) if f.endswith(".parquet")]
+            assert len(files) == 1, (fam, d, files)
+        assert not [k for k in first if k.endswith(".tmp")]
+
+
 def test_kmeans_driver_sample_is_capped(ray_session):
     """sample_mod=None must derive a mod that bounds the driver-side
     collect (round-2 default materialized the whole table)."""
