@@ -642,6 +642,106 @@ def simhash_dup_pairs(
 # ------------------------------------------------------------------ embedding cosine near-dup
 
 
+def _unit_rows(vecs: np.ndarray) -> np.ndarray:
+    """Row-normalize (the shared cosine-prep kernel — same float dtype and
+    ops everywhere so candidate generation, verification and the vendored
+    test oracle agree bit-for-bit after round(6))."""
+    norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+    return vecs / np.maximum(norms, 1e-12)
+
+
+def verify_pairs_cosine(
+    pairs: Dataset,
+    vecs_source,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> Dataset:
+    """Exact-cosine verification of candidate id pairs.  ``vecs_source``
+    is either a parquet path/dir (scale path: per-pair vector payloads
+    gathered via row-group-pruned reads — I/O ∝ pairs, the
+    :class:`DocTextIndex` discipline) or a ``ray.put`` ObjectRef of an
+    id → vector dict (tests / in-memory corpora).  Cosine is the float32
+    dot of row-normalized vectors, per pair (np.dot — the same BLAS call
+    the vendored oracle makes, so round(6) values match exactly)."""
+    from ..util import cached_get, ensure_worker_thread_limits
+
+    by_path = isinstance(vecs_source, str)
+
+    def _verify(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "id_a": pd.Series(dtype="int64"),
+                    "id_b": pd.Series(dtype="int64"),
+                    "cosine": pd.Series(dtype="float64"),
+                }
+            )
+        if by_path:
+            ensure_worker_thread_limits()
+            idx: DocTextIndex = cached_get(
+                vecs_source,
+                build=lambda p: DocTextIndex(p, id_col, vec_col),
+                key=f"vecidx:{vecs_source}:{id_col}:{vec_col}",
+            )
+            raw = idx.read_texts(set(df["id_a"]) | set(df["id_b"]))
+            vecs = {i: v for i, v in raw.items()}
+        else:
+            vecs = cached_get(vecs_source)
+        ga = [vecs.get(a) for a in df["id_a"]]
+        gb = [vecs.get(b) for b in df["id_b"]]
+        ok = np.array([a is not None and b is not None for a, b in zip(ga, gb)])
+        zero = np.zeros(
+            len(next((v for v in ga + gb if v is not None), [0.0])),
+            dtype=np.float32,
+        )
+        ua = _unit_rows(np.stack([np.asarray(a if a is not None else zero,
+                                             dtype=np.float32) for a in ga]))
+        ub = _unit_rows(np.stack([np.asarray(b if b is not None else zero,
+                                             dtype=np.float32) for b in gb]))
+        cos = np.array(
+            [float(np.dot(x, y)) for x, y in zip(ua, ub)], dtype=np.float64
+        ).round(6)
+        out = df.copy()
+        out["cosine"] = cos
+        return out[ok & (out["cosine"] >= threshold)]
+
+    return pairs.map_batches(_verify, batch_format="pandas", batch_size=4096)
+
+
+def embedding_probe_rows(
+    df: pd.DataFrame,
+    planes: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pa.Table:
+    """Multiprobe LSH explode for embedding near-dup: (id, bucket) rows
+    ONLY — own sign code plus every single-bit flip, fully vectorized.
+    The vector payload deliberately never appears in the output: the
+    bucket shuffle downstream moves 16-byte rows however many probes there
+    are, and payloads are gathered per verified PAIR later (VERDICT r3
+    #3's 13× vector-payload all-to-all, eliminated)."""
+    n_planes = planes.shape[1]
+    if len(df) == 0:
+        return pa.Table.from_arrays(
+            [pa.array([], pa.int64()), pa.array([], pa.int64())],
+            names=[id_col, "bucket"],
+        )
+    unit = _unit_rows(np.stack(df[vec_col].to_numpy()))
+    codes = ((unit @ planes) > 0).astype(np.int64) @ (
+        1 << np.arange(n_planes, dtype=np.int64)
+    )
+    flips = np.concatenate(
+        [np.zeros(1, dtype=np.int64), 1 << np.arange(n_planes, dtype=np.int64)]
+    )
+    buckets = (codes[:, None] ^ flips[None, :]).reshape(-1)
+    ids = np.repeat(df[id_col].to_numpy().astype(np.int64), n_planes + 1)
+    return pa.Table.from_arrays(
+        [pa.array(ids, pa.int64()), pa.array(buckets, pa.int64())],
+        names=[id_col, "bucket"],
+    )
+
+
 def embedding_dup_pairs(
     ds: Dataset,
     vec_col: str = "embedding",
@@ -650,12 +750,25 @@ def embedding_dup_pairs(
     n_planes: int = 12,
     seed: int = 11,
     dim: int = 64,
+    vecs_path: str | None = None,
 ) -> Dataset:
     """Cosine near-dup via random-hyperplane LSH: bucket = sign-bit code of
-    ``n_planes`` projections; verify exact cosine within buckets.  Two
-    vectors at cosine ≥ t collide with prob (1 - acos(t)/π)^n_planes per
-    code; for recall, also emit codes with each single bit flipped
-    (multi-probe)."""
+    ``n_planes`` projections; two vectors at cosine ≥ t share a code with
+    prob (1 - acos(t)/π)^n_planes, and multi-probe (own code + every
+    single-bit flip) catches near-miss codes.
+
+    Scale shape (VERDICT r3 #3 — the round-3 version replicated every FULL
+    VECTOR ``n_planes+1 = 13×`` into the bucket shuffle): the exploded
+    rows are (id, bucket) ONLY — 16 bytes/row — so each vector's payload
+    moves ZERO times through the all-to-all.  Candidate id pairs come out
+    of the sharded bucket groupby (minhash pattern, ``_pairs_by_bucket``
+    with the star+chain cap), are deduped once, and exact cosine runs in
+    :func:`verify_pairs_cosine` with per-pair payload gather: row-group-
+    pruned parquet reads when ``vecs_path`` is given (I/O ∝ pairs — the
+    100 TB path), else a broadcast id → vector dict built from ``ds``
+    (tests / corpora that fit memory)."""
+    import ray as _ray
+
     from ..util import ensure_min_blocks
 
     rng = np.random.RandomState(seed)
@@ -663,73 +776,35 @@ def embedding_dup_pairs(
     ds = ensure_min_blocks(ds)
 
     def _explode(df: pd.DataFrame) -> pa.Table:
-        vecs = np.stack(df[vec_col].to_numpy())
-        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
-        unit = vecs / np.maximum(norms, 1e-12)
-        proj = unit @ planes
-        codes = (proj > 0).astype(np.int64) @ (1 << np.arange(n_planes, dtype=np.int64))
-        rows = {id_col: [], "bucket": [], "__vec": []}
-        for i, (doc_id, code) in enumerate(zip(df[id_col], codes)):
-            probes = [int(code)] + [int(code) ^ (1 << b) for b in range(n_planes)]
-            for p in probes:
-                rows[id_col].append(doc_id)
-                rows["bucket"].append(p)
-                rows["__vec"].append(unit[i].astype(np.float32))
-        return pa.Table.from_arrays(
-            [
-                pa.array(rows[id_col], pa.int64()),
-                pa.array(rows["bucket"], pa.int64()),
-                pa.array(rows["__vec"], pa.list_(pa.float32())),
-            ],
-            names=[id_col, "bucket", "__vec"],
-        )
+        return embedding_probe_rows(df, planes, id_col=id_col, vec_col=vec_col)
 
     exploded = ds.map_batches(_explode, batch_format="pandas")
 
     def _pairs(g: pd.DataFrame) -> pd.DataFrame:
-        uniq = g.drop_duplicates(subset=[id_col]).sort_values(id_col)
-        if len(uniq) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
-        ids = uniq[id_col].to_numpy()
-        mat = np.stack(uniq["__vec"].to_numpy())
-        if len(ids) > MAX_BUCKET_MEMBERS:
-            # star + chain verify (O(n) not O(n²)): hub vs every member
-            # plus consecutive members, so a dissimilar hub can't
-            # disconnect genuinely-similar member pairs (ADVICE r2)
-            logger.warning(
-                "Embedding-LSH bucket with %d members exceeds cap %d: "
-                "star+chain-linking",
-                len(ids),
-                MAX_BUCKET_MEMBERS,
-            )
-            sims = mat[1:] @ mat[0]
-            keep = sims >= threshold
-            csims = np.einsum("ij,ij->i", mat[1:-1], mat[2:])
-            ckeep = csims >= threshold
-            return pd.DataFrame(
-                {
-                    "id_a": np.concatenate(
-                        [np.full(int(keep.sum()), ids[0]), ids[1:-1][ckeep]]
-                    ),
-                    "id_b": np.concatenate([ids[1:][keep], ids[2:][ckeep]]),
-                    "cosine": np.concatenate([sims[keep], csims[ckeep]]).round(6),
-                }
-            )
-        sims = mat @ mat.T
-        ia, ib = np.nonzero(np.triu(sims >= threshold, k=1))
-        out = pd.DataFrame(
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": []})
+        return _pairs_from_groups(g, id_col)
+
+    cand = _pairs_by_bucket(exploded, _pairs, {"id_a": "int64", "id_b": "int64"})
+
+    def _cast(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [t["id_a"].cast(pa.int64()), t["id_b"].cast(pa.int64())],
+            names=["id_a", "id_b"],
+        )
+
+    cand = dedup_pairs(cand.map_batches(_cast, batch_format="pyarrow"))
+    if vecs_path is not None:
+        src = vecs_path
+    else:
+        rows = ds.select_columns([id_col, vec_col]).to_pandas()
+        src = _ray.put(
             {
-                "id_a": np.minimum(ids[ia], ids[ib]),
-                "id_b": np.maximum(ids[ia], ids[ib]),
-                "cosine": sims[ia, ib].round(6),
+                int(i): np.asarray(v, dtype=np.float32)
+                for i, v in zip(rows[id_col], rows[vec_col])
             }
         )
-        return out
-
-    pairs = _pairs_by_bucket(
-        exploded, _pairs, {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
-    )
-    return dedup_pairs(pairs)
+    return verify_pairs_cosine(cand, src, threshold, id_col=id_col, vec_col=vec_col)
 
 
 def dedup_near_keep_first(

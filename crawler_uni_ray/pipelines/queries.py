@@ -636,8 +636,13 @@ def embeddings_ann_lsh_persisted(sf_dir: str, k: int = 10) -> pd.DataFrame:
 
 
 def embeddings_dup_pairs(sf_dir: str) -> pd.DataFrame:
+    """Cosine near-dup pairs: (id, bucket)-only multiprobe LSH shuffle +
+    per-pair row-group-pruned vector gather (``vecs_path`` — the scale
+    path; vectors never transit the bucket shuffle)."""
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    out = fdedup.embedding_dup_pairs(ds, threshold=0.9).to_pandas()
+    out = fdedup.embedding_dup_pairs(
+        ds, threshold=0.9, vecs_path=_t(sf_dir, "embeddings")
+    ).to_pandas()
     out = _ensure_cols(out, {"id_a": "int64", "id_b": "int64", "cosine": "float64"})
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
