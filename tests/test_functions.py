@@ -92,14 +92,12 @@ def test_minhash_lsh_finds_near_dupes(ray_session):
 
 
 def test_connected_components_distributed_equals_unionfind(ray_session):
-    """Distributed min-label CC ≡ driver union-find on a graph with a
+    """Distributed star CC ≡ driver union-find on a graph with a
     long chain (multi-round propagation), a star, a clique and isolated
     pairs."""
     import ray.data as rd
 
     rng = np.random.RandomState(9)
-    # each min-label round is a full Ray execution (~3 s at 4 test CPUs),
-    # so keep diameters near-dup-realistic: chain of 8, star, clique
     edges = [(i, i + 1) for i in range(0, 8)]
     edges += [(100, 100 + i) for i in range(1, 8)]  # star
     edges += [(200 + a, 200 + b) for a in range(5) for b in range(a + 1, 5)]  # clique
@@ -116,6 +114,27 @@ def test_connected_components_distributed_equals_unionfind(ray_session):
     assert set(got) == nodes
     for n in nodes:
         assert got[n] == want.get(n, n), n
+
+
+def test_connected_components_distributed_long_chain(ray_session):
+    """High-diameter regression (VERDICT r3 #5): a 150-edge chain has
+    diameter 150 ≫ the default 25 rounds — round 3's min-label
+    propagation bailed with split labels here; large-star/small-star
+    must converge in O(log n) rounds under the SAME max_iters default
+    and label every node with the component min (node 0)."""
+    import ray.data as rd
+
+    n = 151  # chain 0-1-2-...-150, diameter 150
+    edges = [(i + 1, i) for i in range(n - 1)]  # reversed order on purpose
+    ds = rd.from_items([{"id_a": a, "id_b": b} for a, b in edges])
+    got = (
+        fdedup.connected_components_distributed(ds, n_buckets=8)
+        .to_pandas()
+        .set_index("node")["cluster_id"]
+        .to_dict()
+    )
+    assert set(got) == set(range(n))
+    assert all(got[i] == 0 for i in range(n))
 
 
 def test_lsh_bucket_cap_star_links(ray_session):
