@@ -11,8 +11,12 @@ Each BFS level runs:
 
 The level barrier (checkpoint write + re-read) is what makes BFS ordering
 and resume EXACT: a level is a pure function of (frontier_k, seen_{k-1},
-corpus), committed atomically by writing ``manifest.json`` last after a
-tmp-dir rename.  Resume finds the max committed level, replays the
+corpus), committed atomically by writing ``manifest.json`` last after the
+level artifacts are published.  ALL durability primitives go through the
+storage seam (state/storage.py): ``storage="posix"`` commits by renaming
+a staged dir (single node / NFS-like shared FS), ``storage="manifest"``
+commits by atomically publishing a per-artifact manifest (the
+object-store protocol — no directory rename anywhere on the path).  Resume finds the max committed level, replays the
 ``results`` url columns into fresh seen shards, and restarts from the
 stored ``frontier_next``.  The reference's broken SIGINT partial save
 (crawler.py:104-109 calls an undefined ``stop()``) is subsumed: every
@@ -75,6 +79,7 @@ from ..stages.schedule import (
 )
 from ..stages.seen_stage import seen_add, seen_filter
 from ..state.seen import ShardedSeen
+from ..state.storage import make_storage
 from ..urlnorm import hosts_batch_cleaned
 
 
@@ -113,17 +118,27 @@ class CrawlConfig:
     max_levels: int = 1000
     max_pages: int | None = None  # [NR] stop once ≥ this many URLs scheduled
     # (level-granular: the running level completes; every level stays durable)
-    extract_batch_size: int = 256
+    extract_batch_size: int | None = None  # None = batch-per-block (see
+    # stages/extract_stage.py — block size is already 32 MB-bounded)
     small_level_rows: int = 50_000  # driver fast-path threshold (0 = always distributed)
     driver_fetch_rows: int = 2000  # broadcast-mode only: fetch+extract tiny
     # levels on the driver (same pure kernels; 0 = never)
-    level_read_blocks: int = 64  # coalesce frontier files into ~this many blocks
+    level_read_blocks: int = 64  # max frontier read-back blocks; the actual
+    # target is adaptive — ~level_rows_per_block rows per block, clamped to
+    # [1, level_read_blocks].  Tail levels (hundreds of rows) otherwise run
+    # every map wave as ~90 three-row tasks and every sort with ~90
+    # partitions: pure barrier latency, no parallelism gain (the data-plane
+    # compute at that size is milliseconds)
+    level_rows_per_block: int = 1000
     # dynamic-block-split target: extract is the dominant compute and the
     # fetch groups emit one ~128 MB html block per corpus partition → one
     # 60+ s extract task each (straggler-bound at high CPU counts); 32 MB
     # splits each into ~4 tasks (A/B: ~25% faster level at 32 CPUs,
     # neutral at 8)
     target_block_size_mb: int = 32
+    storage: str = "posix"  # durability backend (state/storage.py):
+    # "posix" = rename commits on one shared filesystem; "manifest" =
+    # write-then-manifest, the object-store protocol (no dir renames)
     verbose: bool = False  # print one progress line as each level commits
 
 
@@ -143,16 +158,18 @@ class LevelMetrics:
 
 
 def _read_parquet_dir(
+    store,
     path: str,
     schema: pa.Schema,
     num_blocks: int | None = None,
     columns: list[str] | None = None,
 ) -> Dataset:
-    """read_parquet that tolerates an empty/absent artifact dir.
-    ``num_blocks`` coalesces many small files into sane block counts (tiny
-    blocks → per-task overhead dominates the level); ``columns`` prunes at
-    the read (never drag text/html through a stage that needs urls)."""
-    files = _parquet_files(path)
+    """read_parquet over a committed artifact's parts (tolerates an
+    empty/absent artifact).  ``num_blocks`` coalesces many small files
+    into sane block counts (tiny blocks → per-task overhead dominates the
+    level); ``columns`` prunes at the read (never drag text/html through
+    a stage that needs urls)."""
+    files = store.list_parts(path)
     kwargs = {}
     if num_blocks:
         kwargs["override_num_blocks"] = num_blocks
@@ -164,48 +181,23 @@ def _read_parquet_dir(
     return ray.data.read_parquet(files, **kwargs)
 
 
-def _parquet_files(path: str) -> list[str]:
-    if not os.path.isdir(path):
-        return []
-    return [
-        os.path.join(path, f) for f in sorted(os.listdir(path)) if f.endswith(".parquet")
-    ]
-
-
-def _read_table(path: str, schema: pa.Schema, columns=None) -> pa.Table:
-    files = _parquet_files(path)
-    if not files:
-        t = schema.empty_table()
-        return t.select(columns) if columns else t
-    return pa.concat_tables(pq.read_table(f, columns=columns) for f in files)
-
-
-def _count_rows(path: str) -> int:
-    return sum(pq.ParquetFile(f).metadata.num_rows for f in _parquet_files(path))
-
-
-def _write_atomic(ds: Dataset, final_dir: str) -> int:
-    """write_parquet into a tmp dir, rename into place (a crashed write
-    leaves only a tmp dir, never a half-committed artifact)."""
-    tmp = final_dir + ".tmp"
-    shutil.rmtree(tmp, ignore_errors=True)
-    shutil.rmtree(final_dir, ignore_errors=True)
-    os.makedirs(tmp, exist_ok=True)
+def _write_atomic(store, ds: Dataset, final_dir: str) -> int:
+    """write_parquet into a staged area, commit through the storage seam
+    (a crashed write leaves only invisible staging litter, never a
+    half-committed artifact)."""
+    staged = store.begin_dir(final_dir)
     # zstd: ~2-3× smaller than snappy on html/text columns — checkpoint
     # phases are I/O-bound, so the ratio win beats the cpu cost at scale
-    ds.write_parquet(tmp, arrow_parquet_args_fn=lambda: {"compression": "zstd"})
-    os.rename(tmp, final_dir)
-    return _count_rows(final_dir)
+    ds.write_parquet(staged, arrow_parquet_args_fn=lambda: {"compression": "zstd"})
+    store.commit_dir(final_dir, staged)
+    return store.count_rows(final_dir)
 
 
-def _write_atomic_table(tbl: pa.Table, final_dir: str) -> int:
+def _write_atomic_table(store, tbl: pa.Table, final_dir: str) -> int:
     """Driver-side single-file variant for small artifacts."""
-    tmp = final_dir + ".tmp"
-    shutil.rmtree(tmp, ignore_errors=True)
-    shutil.rmtree(final_dir, ignore_errors=True)
-    os.makedirs(tmp, exist_ok=True)
-    pq.write_table(tbl, os.path.join(tmp, "part-0.parquet"), compression="zstd")
-    os.rename(tmp, final_dir)
+    staged = store.begin_dir(final_dir)
+    pq.write_table(tbl, os.path.join(staged, "part-0.parquet"), compression="zstd")
+    store.commit_dir(final_dir, staged)
     return tbl.num_rows
 
 
@@ -243,14 +235,14 @@ def _bucket_seed_table(n_buckets: int) -> pa.Table:
     )
 
 
-def _deferred_partials_writer(deferred_dir: str, dedup_buckets: int):
+def _deferred_partials_writer(deferred_dir: str, dedup_buckets: int, store):
     """Writer handed to the fused scheduler: converts a deferred-rows table
     to combine-input partials, partitions them by the frontier-dedup
-    bucket, and writes one file per (dedup bucket, schedule bucket) —
-    deterministic names + tmp→rename ⇒ idempotent under task retries.
-    The frontier combine reads them back per bucket; that read is safe
-    because the combine sits behind a later all-to-all in the same
-    execution (every schedule task, hence every side-write, completes
+    bucket, and publishes one part per (dedup bucket, schedule bucket) —
+    deterministic names through ``store.write_part`` ⇒ idempotent under
+    task retries.  The frontier combine reads them back per bucket; that
+    read is safe because the combine sits behind a later all-to-all in the
+    same execution (every schedule task, hence every side-write, completes
     before any combine group runs)."""
 
     def write(deferred: pa.Table, sched_bucket: int) -> None:
@@ -265,22 +257,19 @@ def _deferred_partials_writer(deferred_dir: str, dedup_buckets: int):
             t = pa.Table.from_pandas(
                 sub, schema=_COMBINE_SCHEMA, preserve_index=False
             ).replace_schema_metadata(None)
-            final = os.path.join(
-                deferred_dir, f"d{int(d):05d}-s{sched_bucket:05d}.parquet"
+            store.write_part(
+                deferred_dir, f"d{int(d):05d}-s{sched_bucket:05d}.parquet", t
             )
-            tmp = f"{final}.{os.getpid()}.tmp"
-            pq.write_table(t, tmp, compression="zstd")
-            os.rename(tmp, final)
 
     return write
 
 
-def _side_write_results(results: Dataset, tmp_dir: str) -> Dataset:
-    """Durably write each results block (content-derived names, tmp→rename
-    ⇒ idempotent under retries; urls are unique per level so distinct
-    blocks never collide) and stream on only url/depth/outlinks — the
-    html/text payload never transits the frontier phase, and the level
-    needs no results read-back execution."""
+def _side_write_results(results: Dataset, staged_dir: str, store) -> Dataset:
+    """Durably write each results block (content-derived names through
+    ``store.write_part`` ⇒ idempotent under retries; urls are unique per
+    level so distinct blocks never collide) and stream on only
+    url/depth/outlinks — the html/text payload never transits the frontier
+    phase, and the level needs no results read-back execution."""
 
     def _w(t: pa.Table) -> pa.Table:
         if t.num_rows:
@@ -288,11 +277,7 @@ def _side_write_results(results: Dataset, tmp_dir: str) -> Dataset:
 
             urls = t["url"].to_pylist()
             h = hashlib.sha1("\x00".join(urls).encode()).hexdigest()[:20]
-            final = os.path.join(tmp_dir, f"block-{h}.parquet")
-            if not os.path.exists(final):
-                tmpf = f"{final}.{os.getpid()}.tmp"
-                pq.write_table(t, tmpf, compression="zstd")
-                os.rename(tmpf, final)
+            store.write_part(staged_dir, f"block-{h}.parquet", t)
         return t.select(["url", "depth", "outlinks"])
 
     return results.map_batches(_w, batch_format="pyarrow", batch_size=None)
@@ -322,6 +307,7 @@ class CrawlEngine:
 
     def __init__(self, config: CrawlConfig):
         self.cfg = config
+        self.store = make_storage(config.storage)
         self.metrics: list[LevelMetrics] = []
         self.seen = ShardedSeen(
             num_shards=config.num_seen_shards,
@@ -392,11 +378,11 @@ class CrawlEngine:
         marked = seen_add(scheduled, self.seen)
         fetched = self._fetch(marked, n_rows)
         results = extract_stage(fetched, depth=k, batch_size=self.cfg.extract_batch_size)
-        return _write_atomic(results, self._lvl(k, "results"))
+        return _write_atomic(self.store, results, self._lvl(k, "results"))
 
     def _results_miss_count(self, k: int) -> int:
         n_miss = 0
-        for f in _parquet_files(self._lvl(k, "results")):
+        for f in self.store.list_parts(self._lvl(k, "results")):
             t = pq.read_table(f, columns=["fetch_status"])
             n_miss += t.num_rows - int(pa.compute.sum(t["fetch_status"]).as_py() or 0)
         return n_miss
@@ -421,7 +407,7 @@ class CrawlEngine:
 
         if scheduled_tbl.num_rows == 0:
             n_results = _write_atomic_table(
-                self.RESULTS_SCHEMA.empty_table(), self._lvl(k, "results")
+                self.store, self.RESULTS_SCHEMA.empty_table(), self._lvl(k, "results")
             )
         elif (
             self._fetch_mode == "broadcast"
@@ -440,7 +426,7 @@ class CrawlEngine:
                 "html", pa.array(htmls, pa.binary())
             ).append_column("fetched", fetched)
             n_results = _write_atomic_table(
-                extract_batch(inp, depth=k), self._lvl(k, "results")
+                self.store, extract_batch(inp, depth=k), self._lvl(k, "results")
             )
         else:
             n_results = self._fetch_extract_write(
@@ -449,7 +435,7 @@ class CrawlEngine:
 
         # next frontier = in-scope outlinks ∪ deferred, combined per url by
         # the priority policy (stages/priority.py — deterministic merge)
-        res = _read_table(
+        res = self.store.read_table(
             self._lvl(k, "results"), self.RESULTS_SCHEMA, columns=["url", "outlinks"]
         )
         col = res["outlinks"].combine_chunks()
@@ -477,7 +463,7 @@ class CrawlEngine:
         next_tbl = pa.Table.from_pandas(
             next_df, schema=FRONTIER_SCHEMA, preserve_index=False
         ).replace_schema_metadata(None)
-        n_next = _write_atomic_table(next_tbl, self._lvl(k, "frontier_next"))
+        n_next = _write_atomic_table(self.store, next_tbl, self._lvl(k, "frontier_next"))
 
         self._finish_level(
             k,
@@ -504,7 +490,7 @@ class CrawlEngine:
         predecessor, resume without the artifact)."""
         if self.cfg.skew_threshold is None or k == 0:
             return None
-        files = _parquet_files(self._lvl(k - 1, "host_counts"))
+        files = self.store.list_files(self._lvl(k - 1, "host_counts"))
         if not files:
             return None
         t = pa.concat_tables(pq.read_table(f) for f in files)
@@ -522,7 +508,6 @@ class CrawlEngine:
         frontier-dedup bucket and read back inside the combine groups
         (safe: the combine sits behind a later all-to-all, so every
         schedule-side write is durable first)."""
-        import glob as _glob
         import time as _time
 
         _t0 = _time.time()
@@ -565,9 +550,8 @@ class CrawlEngine:
                 hc = host_counts(frontier)
                 hot = set(hc.loc[hc["n"] > cfg.skew_threshold, "host"])
             deferred_dir = self._lvl(k, "deferred")
-            shutil.rmtree(deferred_dir, ignore_errors=True)
-            os.makedirs(deferred_dir, exist_ok=True)
-            writer = _deferred_partials_writer(deferred_dir, dedup_buckets)
+            self.store.prepare_side_dir(deferred_dir)
+            writer = _deferred_partials_writer(deferred_dir, dedup_buckets, self.store)
             if not hot:
                 # skew handling off, or counts prove no host is hot: the
                 # unsalted single-execution scheduler (exact semantics,
@@ -589,10 +573,7 @@ class CrawlEngine:
                 )
 
         results_final = self._lvl(k, "results")
-        results_tmp = results_final + ".tmp"
-        shutil.rmtree(results_tmp, ignore_errors=True)
-        shutil.rmtree(results_final, ignore_errors=True)
-        os.makedirs(results_tmp, exist_ok=True)
+        results_staged = self.store.begin_dir(results_final)
 
         empty_results = False
         if self._fetch_mode == "join":
@@ -614,7 +595,7 @@ class CrawlEngine:
             results = extract_stage(
                 fetched, depth=k, batch_size=cfg.extract_batch_size
             )
-            slim = _side_write_results(results, results_tmp)
+            slim = _side_write_results(results, results_staged, self.store)
 
         outlinks = flatten_outlinks(slim, cfg.domain)
 
@@ -644,21 +625,19 @@ class CrawlEngine:
             )
         policy = cfg.priority_policy
         deferred_read_dir = deferred_dir
+        store = self.store  # closure capture: the seam object, not self
         hc_dir = None
         if cfg.skew_threshold is not None:
             # side-product: per-host counts of the NEXT frontier, so the
             # next level's hot-host detection needs no count execution
             hc_dir = self._lvl(k, "host_counts")
-            shutil.rmtree(hc_dir, ignore_errors=True)
-            os.makedirs(hc_dir, exist_ok=True)
+            store.prepare_side_dir(hc_dir)
 
         def _combine(g: pd.DataFrame) -> pa.Table:
             b = int(g["__bucket"].iloc[0])
             g = g[g["__cnt"] != _SEED_CNT].drop(columns=["__bucket"])
             if deferred_read_dir is not None:
-                files = sorted(
-                    _glob.glob(os.path.join(deferred_read_dir, f"d{b:05d}-*.parquet"))
-                )
+                files = store.list_files(deferred_read_dir, f"d{b:05d}-*.parquet")
                 if files:
                     g = pd.concat(
                         [g] + [pq.read_table(f).to_pandas() for f in files],
@@ -673,10 +652,7 @@ class CrawlEngine:
                         "n": pa.array(vc.to_numpy(dtype=np.int64)),
                     }
                 )
-                final = os.path.join(hc_dir, f"b{b:05d}.parquet")
-                tmpf = f"{final}.{os.getpid()}.tmp"
-                pq.write_table(t, tmpf)
-                os.rename(tmpf, final)
+                store.write_part(hc_dir, f"b{b:05d}.parquet", t)
             return pa.Table.from_pandas(
                 out, schema=FRONTIER_SCHEMA, preserve_index=False
             ).replace_schema_metadata(None)
@@ -684,15 +660,17 @@ class CrawlEngine:
         frontier_next = bucketed.groupby("__bucket").map_groups(
             _combine, batch_format="pandas"
         )
-        n_next = _write_atomic(frontier_next, self._lvl(k, "frontier_next"))
+        n_next = _write_atomic(self.store, frontier_next, self._lvl(k, "frontier_next"))
+        if os.environ.get("GRAFT_LEVEL_STATS"):
+            print(f"===== level {k} stats =====\n{frontier_next.stats()}", flush=True)
         _t_main = _time.time() - _t0
 
         # the big execution is done: commit the side-written results dir
-        os.rename(results_tmp, results_final)
-        n_results = _count_rows(results_final)
+        self.store.commit_dir(results_final, results_staged)
+        n_results = self.store.count_rows(results_final)
 
         if deferred_dir is not None:
-            n_cand = n_results + _count_rows(deferred_dir)
+            n_cand = n_results + self.store.count_rows(deferred_dir)
         else:
             n_cand = n_results
         n_miss = self._results_miss_count(k)
@@ -735,13 +713,10 @@ class CrawlEngine:
             d = self._lvl(k, art)
             lineage[art] = [
                 {"file": os.path.basename(f), "rows": pq.ParquetFile(f).metadata.num_rows}
-                for f in _parquet_files(d)
+                for f in self.store.list_parts(d)
             ]
         manifest = {"level": k, "metrics": m.__dict__, "partitions": lineage}
-        tmp = self._lvl(k, "manifest.json.tmp")
-        with open(tmp, "w") as f:
-            json.dump(manifest, f, indent=1, default=str)
-        os.rename(tmp, self._lvl(k, "manifest.json"))
+        self.store.write_json(self._lvl(k, "manifest.json"), manifest)
 
     # ----------------------------------------------------------- entry points
     @contextmanager
@@ -786,7 +761,7 @@ class CrawlEngine:
         # drop any uncommitted partial level directories
         for d in list(os.listdir(self.cfg.ckpt_dir)):
             if d.startswith("level_") and int(d.split("_")[1]) > last:
-                shutil.rmtree(os.path.join(self.cfg.ckpt_dir, d), ignore_errors=True)
+                self.store.remove_dir(os.path.join(self.cfg.ckpt_dir, d))
         with self._ctx_overrides():
             self._replay_seen(done)
             return self._loop(last + 1)
@@ -803,14 +778,13 @@ class CrawlEngine:
         in ``self.seen_replay_path`` for tests/metrics."""
         files, total = [], 0
         for k in levels:
-            files.extend(_parquet_files(self._lvl(k, "results")))
+            files.extend(self.store.list_parts(self._lvl(k, "results")))
             try:
                 with open(self._lvl(k, "manifest.json")) as f:
                     man = json.load(f)
                 total += sum(p["rows"] for p in man["partitions"]["results"])
             except (OSError, KeyError, json.JSONDecodeError):
-                total += sum(pq.ParquetFile(f).metadata.num_rows
-                             for f in _parquet_files(self._lvl(k, "results")))
+                total += self.store.count_rows(self._lvl(k, "results"))
         if not files:
             self.seen_replay_path = "empty"
             return
@@ -844,23 +818,32 @@ class CrawlEngine:
                 n_frontier, src = seed_tbl.num_rows, None
             else:
                 src = self._lvl(k - 1, "frontier_next")
-                n_frontier = _count_rows(src)
+                n_frontier = self.store.count_rows(src)
             if n_frontier == 0:
                 break
             if n_frontier <= cfg.small_level_rows:
                 tbl = (
                     seed_tbl
                     if src is None
-                    else _read_table(src, FRONTIER_SCHEMA)
+                    else self.store.read_table(src, FRONTIER_SCHEMA)
                 )
                 n_next = self._run_level_small(k, tbl)
             else:
+                # two regimes (A/B-measured): tiny levels are pure wave
+                # latency — one block ends the 90-tiny-task waves; real
+                # levels floor at 32 blocks so the sort-partition count
+                # (which tracks input blocks) keeps fetch/extract parallel
+                rpb = max(1, cfg.level_rows_per_block)
+                if n_frontier < 2 * rpb:
+                    nb = max(1, -(-n_frontier // rpb))
+                else:
+                    nb = min(
+                        cfg.level_read_blocks, max(32, n_frontier // rpb)
+                    )
                 ds = (
                     ray.data.from_arrow(seed_tbl)
                     if src is None
-                    else _read_parquet_dir(
-                        src, FRONTIER_SCHEMA, num_blocks=cfg.level_read_blocks
-                    )
+                    else _read_parquet_dir(self.store, src, FRONTIER_SCHEMA, num_blocks=nb)
                 )
                 n_next = self._run_level_big(k, ds, n_frontier)
             if n_next == 0:
@@ -891,7 +874,7 @@ class CrawlEngine:
     def results_dataset(self) -> Dataset:
         files = []
         for k in self.committed_levels():
-            files.extend(_parquet_files(self._lvl(k, "results")))
+            files.extend(self.store.list_parts(self._lvl(k, "results")))
         if not files:
             return ray.data.from_arrow(self.RESULTS_SCHEMA.empty_table())
         return ray.data.read_parquet(files)
@@ -901,7 +884,7 @@ class CrawlEngine:
         the per-level results' outlinks list column (column-pruned read)."""
         files = []
         for k in self.committed_levels():
-            files.extend(_parquet_files(self._lvl(k, "results")))
+            files.extend(self.store.list_parts(self._lvl(k, "results")))
         if not files:
             return ray.data.from_arrow(self.OUTLINKS_SCHEMA.empty_table())
         ds = ray.data.read_parquet(files, columns=["url", "depth", "outlinks"])
@@ -918,7 +901,7 @@ class CrawlEngine:
         """url → level fetched (for conformance tests; small corpora)."""
         out: dict[str, int] = {}
         for k in self.committed_levels():
-            for f in _parquet_files(self._lvl(k, "results")):
+            for f in self.store.list_parts(self._lvl(k, "results")):
                 t = pq.read_table(f, columns=["url", "depth"])
                 for u, d in zip(t["url"].to_pylist(), t["depth"].to_pylist()):
                     out[u] = d

@@ -20,6 +20,7 @@ from crawler_uni_ray.pipelines.crawl import (
     _side_write_results,
 )
 from crawler_uni_ray.stages.frontier import frontier_table
+from crawler_uni_ray.state.storage import PosixStorage
 
 
 def _results_table() -> pa.Table:
@@ -47,12 +48,12 @@ def test_results_side_write_idempotent(ray_session, tmp_path):
     import ray.data
 
     ds = ray.data.from_arrow(t)
-    slim = _side_write_results(ds, d)
+    slim = _side_write_results(ds, d, PosixStorage())
     out1 = slim.to_pandas()
     files1 = sorted(os.listdir(d))
     contents1 = {f: pq.read_table(os.path.join(d, f)) for f in files1}
     # second pass over the identical input = the retry
-    slim2 = _side_write_results(ray.data.from_arrow(t), d)
+    slim2 = _side_write_results(ray.data.from_arrow(t), d, PosixStorage())
     out2 = slim2.to_pandas()
     files2 = sorted(os.listdir(d))
     assert files1 == files2  # no duplicate blocks under retry
@@ -65,7 +66,7 @@ def test_results_side_write_idempotent(ray_session, tmp_path):
 def test_deferred_partials_writer_idempotent(ray_session, tmp_path):
     d = str(tmp_path / "deferred")
     os.makedirs(d)
-    w = _deferred_partials_writer(d, dedup_buckets=4)
+    w = _deferred_partials_writer(d, dedup_buckets=4, store=PosixStorage())
     urls = [f"https://h{i % 3}.example.com/p{i}" for i in range(20)]
     t = frontier_table(urls)
     w(t, 7)
