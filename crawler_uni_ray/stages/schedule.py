@@ -112,6 +112,88 @@ def schedule_level_fused(
     )
 
 
+def _salted_bucket_fn(hot_ref: set[str], n_salts: int, n_buckets: int):
+    """Shared stage-1 bucketing for the salted schedulers: hot-host rows
+    get ``hash(host#salt)`` keys (one hot host spreads over ≤ ``n_salts``
+    buckets), cold rows ``hash(host#0)``."""
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        hosts = np.asarray(t["host"].to_pylist(), dtype=object)
+        salts = np.zeros(len(hosts), dtype=np.int64)
+        hot = np.fromiter((h in hot_ref for h in hosts), bool, count=len(hosts))
+        if hot.any():
+            salts[hot] = (
+                url_hash_batch(np.asarray(t["url"].to_pylist(), object)[hot])
+                % n_salts
+            ).astype(np.int64)
+        keys = [f"{h}#{s}" for h, s in zip(hosts, salts)]
+        bucket = (url_hash_batch(keys) % n_buckets).astype(np.int64)
+        return (
+            t.append_column("__salt", pa.array(salts))
+            .append_column("__hot", pa.array(hot))
+            .append_column("__bucket", pa.array(bucket))
+        )
+
+    return _bucket
+
+
+def schedule_level_fused_salted_stage1(
+    ds: Dataset,
+    budget: int,
+    deferred_writer,
+    *,
+    n_buckets: int = 32,
+    n_salts: int = 8,
+    hot_hosts: set[str],
+    hotkeys_writer,
+) -> Dataset:
+    """Stage 1 of the salted scheduler with the exact per-host re-trim
+    FOLDED into the caller's fetch-align groupby — one fewer all-to-all
+    barrier per salted level than :func:`schedule_level_fused_salted`.
+
+    Identical per-(host, salt) local top-``budget`` + deferred side-writes
+    as the two-stage variant; but instead of re-keying the survivors
+    through a second groupby, each group side-writes the SORT KEYS
+    (host, url, priority[, seq]) of its hot-host survivors via
+    ``hotkeys_writer(keys_table, bucket_id)``.  The caller's fetch-align
+    groups — a later all-to-all in the SAME streaming execution, so every
+    key file is durable before any group runs (the deferred-partials
+    invariant) — read the keys back, reconstruct each hot host's global
+    top-``budget`` set, and trim exactly (crawl.py ``_pre_fetch_trim``).
+    Returns the survivor SUPERSET: hot rows still pending that exact trim,
+    and NOT yet seen-marked (the trim decides scheduled-vs-deferred, and
+    deferred rows must stay eligible next level)."""
+    hot_ref = hot_hosts
+    _bucket = _salted_bucket_fn(hot_ref, n_salts, n_buckets)
+
+    def _sched(g: pd.DataFrame) -> pa.Table:
+        from ..util import ensure_worker_thread_limits, from_pandas_clean
+
+        ensure_worker_thread_limits()
+        bid = int(g["__bucket"].iloc[0])
+        rank = _rank_within(g, ["host", "__salt"])
+        kept_mask = rank < budget
+        hot_m = g["__hot"].to_numpy(dtype=bool)
+        g = g.drop(columns=["__salt", "__bucket"])
+        t = from_pandas_clean(g)  # convert before filtering: keeps types on empty
+        deferred = t.filter(pa.array(~kept_mask)).drop_columns(["__hot"])
+        if deferred.num_rows:
+            deferred_writer(deferred, bid)
+        hot_kept = hot_m & kept_mask
+        if hot_kept.any():
+            cols = ["host", "url", "priority"] + (
+                ["seq"] if "seq" in g.columns else []
+            )
+            hotkeys_writer(from_pandas_clean(g.loc[hot_kept, cols]), bid)
+        return t.filter(pa.array(kept_mask)).drop_columns(["__hot"])
+
+    return (
+        ds.map_batches(_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(_sched, batch_format="pandas")
+    )
+
+
 def schedule_level_fused_salted(
     ds: Dataset,
     budget: int,
@@ -145,23 +227,7 @@ def schedule_level_fused_salted(
     no bucket ever holds a hot host's full candidate mass.
     """
     hot_ref = hot_hosts
-
-    def _bucket(t: pa.Table) -> pa.Table:
-        hosts = np.asarray(t["host"].to_pylist(), dtype=object)
-        salts = np.zeros(len(hosts), dtype=np.int64)
-        hot = np.fromiter((h in hot_ref for h in hosts), bool, count=len(hosts))
-        if hot.any():
-            salts[hot] = (
-                url_hash_batch(np.asarray(t["url"].to_pylist(), object)[hot])
-                % n_salts
-            ).astype(np.int64)
-        keys = [f"{h}#{s}" for h, s in zip(hosts, salts)]
-        bucket = (url_hash_batch(keys) % n_buckets).astype(np.int64)
-        return (
-            t.append_column("__salt", pa.array(salts))
-            .append_column("__hot", pa.array(hot))
-            .append_column("__bucket", pa.array(bucket))
-        )
+    _bucket = _salted_bucket_fn(hot_ref, n_salts, n_buckets)
 
     def _sched(g: pd.DataFrame) -> pa.Table:
         from ..util import ensure_worker_thread_limits, from_pandas_clean
