@@ -130,6 +130,13 @@ def bench_crawl() -> dict:
         small_level_rows=0,  # benchmark the fully-distributed control plane
         seen_backend="exact",
         num_seen_shards=8,
+        # levels end at durable next-frontier partials (no combine
+        # all-to-all); A/B override: GRAFT_FRONTIER_PARTIALS=0
+        frontier_partials=os.environ.get("GRAFT_FRONTIER_PARTIALS", "1") == "1",
+        # level pipelining: fuse up to W consecutive levels into one
+        # streaming execution (fixed cost paid once per window); A/B
+        # override: GRAFT_FUSED_LEVELS=1 reverts to per-level
+        fused_levels=int(os.environ.get("GRAFT_FUSED_LEVELS", "1")),
     )
     t0 = time.time()
     eng = CrawlEngine(cfg)

@@ -146,6 +146,33 @@ class CrawlConfig:
     # fetch-align groupby (one fewer all-to-all barrier per salted level;
     # semantics ≡ the two-stage plan — test_fold_retrim_conformance).
     # False keeps the two-stage schedule_level_fused_salted plan everywhere
+    frontier_partials: bool = False  # budgeted big levels END at the
+    # next-frontier PARTIALS (side-written combine-input rows, one part per
+    # extract task + one per deferred source) instead of running the
+    # frontier-combine all-to-all + frontier write; the NEXT level's
+    # schedule groups combine per url before ranking (a url determines its
+    # host, so a host-keyed group holds every partial of its urls — the
+    # merge is complete there; stages/schedule.py _combine_partials_group).
+    # One fewer all-to-all AND one fewer write-materialize per level; the
+    # level hand-off becomes MapReduce-style durable partial files (the
+    # deferred dir is read alongside as next-level input).  The manifest
+    # records the format per level, so mixed checkpoints (small-path
+    # levels still write combined frontiers) and resumes work
+    fused_levels: int = 1  # >1 = "level pipelining": fuse up to this many
+    # consecutive distributed levels into ONE streaming execution.  Level
+    # k+1's schedule shuffle overlaps level k's extract, and the per-level
+    # execution fixed cost (the headline floor) is paid once per WINDOW.
+    # Exactness is preserved by the all-to-all barrier chain: level k+1's
+    # schedule groupby cannot start until every level-k task — including
+    # all seen-marking and every deferred side-write — has completed, so
+    # the seen check MOVES INTO the schedule groups (in-window levels
+    # only) and stays exact.  Every level still side-writes its durable
+    # artifacts (results, deferred, frontier partials, host counts) with
+    # idempotent names; manifests commit when the window completes, so
+    # RESUME granularity becomes the window.  Requires frontier_partials +
+    # a budget + partitioned fetch; hot-host sets are window-static (stale
+    # by ≤ fused_levels-1 levels — salting is perf-only, semantics are
+    # unchanged).  max_pages is checked between windows.
     verbose: bool = False  # print one progress line as each level commits
 
 
@@ -162,30 +189,6 @@ class LevelMetrics:
     n_frontier_next: int
     path: str = "distributed"
     extra: dict = field(default_factory=dict)
-
-
-def _read_parquet_dir(
-    store,
-    path: str,
-    schema: pa.Schema,
-    num_blocks: int | None = None,
-    columns: list[str] | None = None,
-) -> Dataset:
-    """read_parquet over a committed artifact's parts (tolerates an
-    empty/absent artifact).  ``num_blocks`` coalesces many small files
-    into sane block counts (tiny blocks → per-task overhead dominates the
-    level); ``columns`` prunes at the read (never drag text/html through
-    a stage that needs urls)."""
-    files = store.list_parts(path)
-    kwargs = {}
-    if num_blocks:
-        kwargs["override_num_blocks"] = num_blocks
-    if columns:
-        kwargs["columns"] = columns
-    if not files:
-        t = schema.empty_table()
-        return ray.data.from_arrow(t.select(columns) if columns else t)
-    return ray.data.read_parquet(files, **kwargs)
 
 
 def _write_atomic(store, ds: Dataset, final_dir: str) -> int:
@@ -242,7 +245,7 @@ def _bucket_seed_table(n_buckets: int) -> pa.Table:
     )
 
 
-def _deferred_partials_writer(deferred_dir: str, dedup_buckets: int, store):
+def _deferred_partials_writer(deferred_dir: str, dedup_buckets: int, store, hc_dir=None):
     """Writer handed to the fused scheduler: converts a deferred-rows table
     to combine-input partials, partitions them by the frontier-dedup
     bucket, and publishes one part per (dedup bucket, schedule bucket) —
@@ -250,7 +253,13 @@ def _deferred_partials_writer(deferred_dir: str, dedup_buckets: int, store):
     task retries.  The frontier combine reads them back per bucket; that
     read is safe because the combine sits behind a later all-to-all in the
     same execution (every schedule task, hence every side-write, completes
-    before any combine group runs)."""
+    before any combine group runs).
+
+    ``hc_dir`` (frontier_partials mode only): there is no end-of-level
+    combine to count next-frontier hosts, and deferred rows ARE next-level
+    frontier input — side-write their per-host counts too (one part per
+    schedule bucket; a host hoarding deferred mass must still trip the
+    next level's hot detection)."""
 
     def write(deferred: pa.Table, sched_bucket: int) -> None:
         from ..urlnorm import url_hash_batch
@@ -267,8 +276,149 @@ def _deferred_partials_writer(deferred_dir: str, dedup_buckets: int, store):
             store.write_part(
                 deferred_dir, f"d{int(d):05d}-s{sched_bucket:05d}.parquet", t
             )
+        if hc_dir is not None and len(part):
+            vc = part["host"].value_counts()
+            store.write_part(
+                hc_dir,
+                f"def-s{sched_bucket:05d}.parquet",
+                pa.table(
+                    {
+                        "host": pa.array(vc.index.astype(str)),
+                        "n": pa.array(vc.to_numpy(dtype=np.int64)),
+                    }
+                ),
+            )
 
     return write
+
+
+def _host_counts_table(hosts: pd.Series) -> pa.Table:
+    vc = hosts.value_counts()
+    return pa.table(
+        {
+            "host": pa.array(vc.index.astype(str)),
+            "n": pa.array(vc.to_numpy(dtype=np.int64)),
+        }
+    )
+
+
+def _make_next_partials(store, hc_dir: str | None = None, side_dir: str | None = None):
+    """Combiner over exploded in-scope outlinks → combine-input partial
+    rows (one row per distinct url per batch with its partial referrer
+    count — hub-heavy outlink batches collapse before any shuffle moves
+    rows).  Side effects, both under content-derived names (urls ∪
+    referrers uniquely identify a batch: src urls are unique per level and
+    partition the outlink rows, so two distinct batches can never produce
+    identical row sets) ⇒ idempotent under task retries:
+
+    * ``hc_dir`` — per-batch host counts (next level's hot detection in
+      partials mode; pre-combine upper bounds — only ever salt MORE hosts).
+    * ``side_dir`` (fused-window in-window levels) — ALSO durably publish
+      the partial rows themselves: they ARE the level's ``frontier_next``
+      artifact (what a resume reads), while the same rows continue
+      IN-STREAM into the next level's schedule shuffle."""
+
+    def _next_partials(t: pa.Table) -> pa.Table:
+        m = np.asarray(t["in_scope"].to_pylist(), dtype=bool)
+        t = t.filter(pa.array(m))
+        g = new_partials_pandas(
+            t["url"].to_pylist(),
+            t["host"].to_pylist(),
+            t["depth"].to_pylist(),
+            t["src_url"].to_pylist(),
+        )
+        out = pa.Table.from_pandas(
+            g, schema=_COMBINE_SCHEMA, preserve_index=False
+        ).replace_schema_metadata(None)
+        if len(g) and (hc_dir is not None or side_dir is not None):
+            import hashlib
+
+            ident = "\x00".join(g["url"].tolist() + g["discovered_from"].tolist())
+            h = hashlib.sha1(ident.encode()).hexdigest()[:20]
+            if hc_dir is not None:
+                store.write_part(hc_dir, f"p-{h}.parquet", _host_counts_table(g["host"]))
+            if side_dir is not None:
+                store.write_part(side_dir, f"f-{h}.parquet", out)
+        return out
+
+    return _next_partials
+
+
+def _window_deferred_writer(
+    deferred_dir: str, hot_ref: set, n_salts: int, n_buckets: int, store, hc_dir=None
+):
+    """Deferred writer for NON-terminal fused-window levels: parts are
+    named by the NEXT level's schedule bucket (schedule.py
+    ``window_schedule_buckets`` — the same derivation that level's
+    map-side bucketing uses) so each of its schedule groups reads exactly
+    its own files.  ``sched_bucket`` only namespaces the file name for
+    idempotency (the fold_retrim path writes under ``n_buckets + part``).
+    Host counts side-written too (deferred rows are next-frontier mass —
+    a host hoarding deferrals must still trip hot detection on resume)."""
+    from ..stages.schedule import window_schedule_buckets
+
+    def write(deferred: pa.Table, sched_bucket: int) -> None:
+        part = deferred_partials_pandas(deferred.to_pandas())
+        nb = window_schedule_buckets(
+            part["url"].to_numpy(dtype=object),
+            part["host"].to_numpy(dtype=object),
+            hot_ref,
+            n_salts,
+            n_buckets,
+        )
+        for b in np.unique(nb):
+            sub = part[nb == b]
+            t = pa.Table.from_pandas(
+                sub, schema=_COMBINE_SCHEMA, preserve_index=False
+            ).replace_schema_metadata(None)
+            store.write_part(
+                deferred_dir, f"nb{int(b):05d}-s{sched_bucket:05d}.parquet", t
+            )
+        if hc_dir is not None and len(part):
+            store.write_part(
+                hc_dir,
+                f"def-s{sched_bucket:05d}.parquet",
+                _host_counts_table(part["host"]),
+            )
+
+    return write
+
+
+def _window_combine_hook(
+    store, prev_deferred_dir: str, policy: str, hot_ref: set | None, n_salts: int, seen
+):
+    """In-group input assembly for an IN-WINDOW level (``fused_levels`` >
+    1): drop the per-bucket seed markers → inject the previous level's
+    deferred partials for this bucket (they merge per url with
+    rediscoveries, exactly like the file-fed path) → per-url combine
+    (salt/hot re-derived when salted) → drop seen urls.  Both reads are
+    exact because the schedule groupby is an all-to-all BEHIND every
+    level-k side-write and every level-k seen-mark (the deferred-partials
+    invariant); urls are bucket-disjoint, so concurrent marking by THIS
+    level's own downstream stages can never affect another group's
+    verdict.  ``hot_ref`` must be None for the unsalted kernel (no
+    __salt/__hot columns) and the window's hot set for the salted ones."""
+    from ..stages.schedule import _combine_partials_group
+
+    def hook(g: pd.DataFrame) -> pd.DataFrame:
+        bid = int(g["__bucket"].iloc[0])
+        g = g[g["__cnt"] != _SEED_CNT]
+        files = store.list_files(prev_deferred_dir, f"nb{bid:05d}-*.parquet")
+        if files:
+            extra = pd.concat(
+                [pq.read_table(f).to_pandas() for f in files], ignore_index=True
+            )
+            extra["__bucket"] = bid
+            g = pd.concat([g, extra], ignore_index=True)
+        if len(g) == 0:
+            return g
+        g = _combine_partials_group(g, policy, hot_ref, n_salts)
+        if len(g):
+            mask = ~seen.contains(g["url"].tolist())
+            g = g.loc[np.asarray(mask, dtype=bool)]
+        return g
+
+    return hook
 
 
 def _hotkeys_writer(hotkeys_dir: str, store):
@@ -611,6 +761,21 @@ class CrawlEngine:
             cfg.num_corpus_shards if self._fetch_mode == "partitioned" else cfg.n_buckets
         )
 
+        # frontier_partials: the level ENDS at durable next-frontier
+        # PARTIALS (MapReduce-style hand-off) instead of running the
+        # frontier-combine all-to-all + combined write; the next level's
+        # schedule groups do the per-url merge (schedule.py
+        # _combine_partials_group).  Requires a budget: the schedule
+        # groupby IS where partials of one url meet (a url determines its
+        # host, hence its schedule group)
+        use_partials = cfg.frontier_partials and cfg.budget is not None
+        hc_dir = None
+        if cfg.skew_threshold is not None:
+            # side-product: per-host counts of the NEXT frontier, so the
+            # next level's hot-host detection needs no count execution
+            hc_dir = self._lvl(k, "host_counts")
+            self.store.prepare_side_dir(hc_dir)
+
         deferred_dir = None  # on-disk deferred partials (fused budget paths)
         pre_group = None  # fold_retrim hook (set on the salted aligned path)
         hot = self._load_hot_hosts(k)
@@ -634,13 +799,22 @@ class CrawlEngine:
                 hot = set(hc.loc[hc["n"] > cfg.skew_threshold, "host"])
             deferred_dir = self._lvl(k, "deferred")
             self.store.prepare_side_dir(deferred_dir)
-            writer = _deferred_partials_writer(deferred_dir, dedup_buckets, self.store)
+            writer = _deferred_partials_writer(
+                deferred_dir,
+                dedup_buckets,
+                self.store,
+                hc_dir=hc_dir if use_partials else None,
+            )
             if not hot:
                 # skew handling off, or counts prove no host is hot: the
                 # unsalted single-execution scheduler (exact semantics,
                 # one groupby shuffle)
                 scheduled = schedule_level_fused(
-                    candidates, cfg.budget, writer, n_buckets=cfg.n_buckets
+                    candidates,
+                    cfg.budget,
+                    writer,
+                    n_buckets=cfg.n_buckets,
+                    policy=cfg.priority_policy,
                 )
             elif (
                 cfg.fold_retrim
@@ -663,6 +837,7 @@ class CrawlEngine:
                     n_salts=cfg.n_salts,
                     hot_hosts=hot,
                     hotkeys_writer=_hotkeys_writer(hotkeys_dir, self.store),
+                    policy=cfg.priority_policy,
                 )
                 pre_group = _pre_fetch_trim(
                     self.store,
@@ -684,6 +859,7 @@ class CrawlEngine:
                     n_buckets=cfg.n_buckets,
                     n_salts=cfg.n_salts,
                     hot_hosts=hot,
+                    policy=cfg.priority_policy,
                 )
 
         results_final = self._lvl(k, "results")
@@ -726,40 +902,39 @@ class CrawlEngine:
             slim = _side_write_results(results, results_staged, self.store)
 
         outlinks = flatten_outlinks(slim, cfg.domain)
+        store = self.store  # closure capture: the seam object, not self
 
-        def _next_partials(t: pa.Table) -> pa.Table:
-            # local pre-aggregation (combiner): one row per distinct url
-            # per batch with its partial referrer count — hub-heavy
-            # outlink batches collapse before the shuffle moves rows
-            m = np.asarray(t["in_scope"].to_pylist(), dtype=bool)
-            t = t.filter(pa.array(m))
-            g = new_partials_pandas(
-                t["url"].to_pylist(),
-                t["host"].to_pylist(),
-                t["depth"].to_pylist(),
-                t["src_url"].to_pylist(),
+        # local pre-aggregation (combiner): one row per distinct url per
+        # batch with its partial referrer count; in partials mode (no
+        # end-of-level combine to count next-frontier hosts) it also
+        # side-writes per-batch host counts — pre-combine upper bounds,
+        # which only ever salt MORE hosts
+        next_candidates = outlinks.map_batches(
+            _make_next_partials(store, hc_dir=hc_dir if use_partials else None),
+            batch_format="pyarrow",
+        )
+        if use_partials:
+            # MapReduce-style durable hand-off: publish the combine-input
+            # partials AS the next frontier (deferred partials stay in
+            # their own committed side-dir and are read alongside by the
+            # next level — see _frontier_input).  No combine all-to-all,
+            # no bucket seeding, no combined-frontier write.
+            n_next = _write_atomic(
+                self.store, next_candidates, self._lvl(k, "frontier_next")
             )
-            return pa.Table.from_pandas(
-                g, schema=_COMBINE_SCHEMA, preserve_index=False
-            ).replace_schema_metadata(None)
-
-        next_candidates = outlinks.map_batches(_next_partials, batch_format="pyarrow")
-        bucketed = add_hash_bucket(next_candidates, "url", dedup_buckets)
-        if deferred_dir is not None:
-            # seed one marker row per bucket so every combine group fires
-            # even when its only real input is on-disk deferred partials
-            bucketed = bucketed.union(
-                ray.data.from_arrow(_bucket_seed_table(dedup_buckets))
-            )
+            frontier_next = next_candidates  # stats surface below
+        else:
+            n_next = None
+            bucketed = add_hash_bucket(next_candidates, "url", dedup_buckets)
+            if deferred_dir is not None:
+                # seed one marker row per bucket so every combine group
+                # fires even when its only real input is on-disk deferred
+                # partials
+                bucketed = bucketed.union(
+                    ray.data.from_arrow(_bucket_seed_table(dedup_buckets))
+                )
         policy = cfg.priority_policy
         deferred_read_dir = deferred_dir
-        store = self.store  # closure capture: the seam object, not self
-        hc_dir = None
-        if cfg.skew_threshold is not None:
-            # side-product: per-host counts of the NEXT frontier, so the
-            # next level's hot-host detection needs no count execution
-            hc_dir = self._lvl(k, "host_counts")
-            store.prepare_side_dir(hc_dir)
 
         def _combine(g: pd.DataFrame) -> pa.Table:
             b = int(g["__bucket"].iloc[0])
@@ -785,10 +960,13 @@ class CrawlEngine:
                 out, schema=FRONTIER_SCHEMA, preserve_index=False
             ).replace_schema_metadata(None)
 
-        frontier_next = bucketed.groupby("__bucket").map_groups(
-            _combine, batch_format="pandas"
-        )
-        n_next = _write_atomic(self.store, frontier_next, self._lvl(k, "frontier_next"))
+        if not use_partials:
+            frontier_next = bucketed.groupby("__bucket").map_groups(
+                _combine, batch_format="pandas"
+            )
+            n_next = _write_atomic(
+                self.store, frontier_next, self._lvl(k, "frontier_next")
+            )
         if os.environ.get("GRAFT_LEVEL_STATS"):
             print(f"===== level {k} stats =====\n{frontier_next.stats()}", flush=True)
         _t_main = _time.time() - _t0
@@ -797,10 +975,14 @@ class CrawlEngine:
         self.store.commit_dir(results_final, results_staged)
         n_results = self.store.count_rows(results_final)
 
-        if deferred_dir is not None:
-            n_cand = n_results + self.store.count_rows(deferred_dir)
-        else:
-            n_cand = n_results
+        n_deferred_rows = (
+            self.store.count_rows(deferred_dir) if deferred_dir is not None else 0
+        )
+        n_cand = n_results + n_deferred_rows
+        if use_partials:
+            # deferred partials ARE next-level frontier input in this mode
+            # (they were never merged into a combined frontier_next)
+            n_next += n_deferred_rows
         n_miss = self._results_miss_count(k)
         _t_next = _time.time() - _t0 - _t_main
         self._finish_level(
@@ -810,16 +992,243 @@ class CrawlEngine:
                 n_frontier=n_frontier,
                 n_candidates=n_cand,
                 n_scheduled=n_results,
-                n_deferred=n_cand - n_results,
+                n_deferred=n_deferred_rows,
                 n_fetched=n_results - n_miss,
                 n_fetch_miss=n_miss,
                 n_outlinks=-1,  # not separately counted on this path
                 n_frontier_next=n_next,
                 path="distributed",
-                extra={"t_main": round(_t_main, 2), "t_next": round(_t_next, 2)},
+                extra={
+                    "t_main": round(_t_main, 2),
+                    "t_next": round(_t_next, 2),
+                    "frontier_format": "partials" if use_partials else "combined",
+                },
             ),
         )
         return n_next
+
+    def _run_level_window(self, k0: int, frontier: Dataset, n_frontier: int) -> list[int]:
+        """Fused level window ("level pipelining"): up to ``fused_levels``
+        consecutive distributed levels built as ONE streaming execution —
+        level k+1's schedule shuffle overlaps level k's extract, and the
+        per-level execution fixed cost is paid once per window.
+
+        Exactness rests on the all-to-all barrier chain: level k+1's
+        schedule groupby consumes the full output of level k's extract,
+        which transitively requires EVERY level-k task — all seen-marking
+        (``seen_add`` map tasks, or ``_pre_fetch_trim`` inside the
+        fetch-align groups) and every deferred/hotkeys side-write — to
+        have completed first.  So for in-window levels the seen check
+        moves INTO the schedule groups (``_window_combine_hook``), the
+        previous level's deferred partials are read there (parts named by
+        THIS level's bucket), and per-bucket seed markers guarantee every
+        group fires even when its only input is on-disk.
+
+        Durability is unchanged: every level still side-writes results
+        blocks, deferred partials, frontier partials and host counts under
+        idempotent names; manifests commit in level order once the window
+        completes (a crash reruns the whole window — resume granularity is
+        the window).  Hot-host sets are window-static (stale by ≤ W-1
+        levels; salting is perf-only, semantics ≡ unsalted)."""
+        import time as _time
+
+        _t0 = _time.time()
+        cfg = self.cfg
+        frontier.context.op_resource_reservation_enabled = False
+        frontier.context.target_max_block_size = cfg.target_block_size_mb * 1024 * 1024
+        W = min(cfg.fused_levels, cfg.max_levels - k0)
+        dedup_buckets = (
+            cfg.num_corpus_shards if self._fetch_mode == "partitioned" else cfg.n_buckets
+        )
+
+        hot = self._load_hot_hosts(k0)
+        if hot is None and cfg.skew_threshold is not None and (
+            n_frontier < 0 or n_frontier > cfg.skew_threshold
+        ):
+            hc = host_counts(frontier)
+            hot = set(hc.loc[hc["n"] > cfg.skew_threshold, "host"])
+        hot = hot or set()
+
+        cur = seen_filter(frontier, self.seen)
+        if self._robots_ref is not None:
+            cur = robots_filter(cur, self._robots_ref)
+
+        from ..stages.schedule import window_bucket_fn
+
+        staged_results: list[tuple[str, str]] = []
+        next_candidates = None
+        for j in range(W):
+            k = k0 + j
+            terminal = j == W - 1
+            deferred_dir = self._lvl(k, "deferred")
+            self.store.prepare_side_dir(deferred_dir)
+            hc_dir = None
+            if cfg.skew_threshold is not None:
+                hc_dir = self._lvl(k, "host_counts")
+                self.store.prepare_side_dir(hc_dir)
+            if terminal:
+                # the next level starts a NEW window: deferred consumed as
+                # plain input files (any partitioning), d-keyed as today
+                writer = _deferred_partials_writer(
+                    deferred_dir, dedup_buckets, self.store, hc_dir=hc_dir
+                )
+            else:
+                # consumed IN-GROUP by level k+1: parts named by its bucket
+                writer = _window_deferred_writer(
+                    deferred_dir, hot, cfg.n_salts, cfg.n_buckets, self.store, hc_dir
+                )
+
+            combine_hook = None
+            bucket_fn = None
+            if j > 0:
+                combine_hook = _window_combine_hook(
+                    self.store,
+                    self._lvl(k - 1, "deferred"),
+                    cfg.priority_policy,
+                    hot if hot else None,
+                    cfg.n_salts,
+                    self.seen,
+                )
+                bucket_fn = window_bucket_fn(hot, cfg.n_salts, cfg.n_buckets)
+                # seed one marker row per bucket so every schedule group
+                # fires even when its only real input is on-disk deferred
+                cur = cur.union(ray.data.from_arrow(_bucket_seed_table(cfg.n_buckets)))
+
+            pre_group = None
+            if not hot:
+                scheduled = schedule_level_fused(
+                    cur,
+                    cfg.budget,
+                    writer,
+                    n_buckets=cfg.n_buckets,
+                    policy=cfg.priority_policy,
+                    bucket_fn=bucket_fn,
+                    combine=combine_hook,
+                )
+            elif cfg.fold_retrim:
+                hotkeys_dir = self._lvl(k, f"hotkeys-{self._run_tag}")
+                self.store.prepare_side_dir(hotkeys_dir)
+                scheduled = schedule_level_fused_salted_stage1(
+                    cur,
+                    cfg.budget,
+                    writer,
+                    n_buckets=cfg.n_buckets,
+                    n_salts=cfg.n_salts,
+                    hot_hosts=hot,
+                    hotkeys_writer=_hotkeys_writer(hotkeys_dir, self.store),
+                    policy=cfg.priority_policy,
+                    bucket_fn=bucket_fn,
+                    combine=combine_hook,
+                )
+                pre_group = _pre_fetch_trim(
+                    self.store,
+                    hotkeys_dir,
+                    writer,
+                    self.seen,
+                    hot,
+                    cfg.budget,
+                    cfg.n_buckets,
+                )
+            else:
+                scheduled = schedule_level_fused_salted(
+                    cur,
+                    cfg.budget,
+                    writer,
+                    n_buckets=cfg.n_buckets,
+                    n_salts=cfg.n_salts,
+                    hot_hosts=hot,
+                    policy=cfg.priority_policy,
+                    bucket_fn=bucket_fn,
+                    combine=combine_hook,
+                )
+
+            results_final = self._lvl(k, "results")
+            results_staged = self.store.begin_dir(results_final)
+            staged_results.append((results_final, results_staged))
+            if pre_group is not None:
+                fetched = fetch_partitioned(
+                    scheduled,
+                    cfg.corpus_path,
+                    cfg.num_corpus_shards,
+                    align=True,
+                    pre_group=pre_group,
+                )
+            else:
+                marked = seen_add(scheduled, self.seen)
+                fetched = fetch_partitioned(
+                    marked, cfg.corpus_path, cfg.num_corpus_shards, align=True
+                )
+            results = extract_stage(fetched, depth=k, batch_size=cfg.extract_batch_size)
+            slim = _side_write_results(results, results_staged, self.store)
+            outlinks = flatten_outlinks(slim, cfg.domain)
+
+            if terminal:
+                next_candidates = outlinks.map_batches(
+                    _make_next_partials(self.store, hc_dir=hc_dir),
+                    batch_format="pyarrow",
+                )
+            else:
+                fn_dir = self._lvl(k, "frontier_next")
+                self.store.prepare_side_dir(fn_dir)
+                cur = outlinks.map_batches(
+                    _make_next_partials(self.store, hc_dir=hc_dir, side_dir=fn_dir),
+                    batch_format="pyarrow",
+                )
+                if self._robots_ref is not None:
+                    # same placement as a level start: the durable copy
+                    # stays pre-robots (what a resume reads + refilters)
+                    cur = robots_filter(cur, self._robots_ref)
+
+        # ONE execution materializes the whole window
+        _write_atomic(
+            self.store, next_candidates, self._lvl(k0 + W - 1, "frontier_next")
+        )
+        if os.environ.get("GRAFT_LEVEL_STATS"):
+            print(
+                f"===== window {k0}..{k0 + W - 1} stats =====\n"
+                f"{next_candidates.stats()}",
+                flush=True,
+            )
+        t_window = round(_time.time() - _t0, 2)
+
+        # commit manifests in level order; trailing never-ran levels elided
+        nexts: list[int] = []
+        nf = n_frontier
+        for j in range(W):
+            k = k0 + j
+            if nf == 0:
+                for jj in range(j, W):
+                    self.store.remove_dir(self._lvl(k0 + jj))
+                break
+            final, staged = staged_results[j]
+            self.store.commit_dir(final, staged)
+            n_results = self.store.count_rows(final)
+            n_def = self.store.count_rows(self._lvl(k, "deferred"))
+            n_next = self.store.count_rows(self._lvl(k, "frontier_next")) + n_def
+            n_miss = self._results_miss_count(k)
+            self._finish_level(
+                k,
+                LevelMetrics(
+                    level=k,
+                    n_frontier=nf,
+                    n_candidates=n_results + n_def,
+                    n_scheduled=n_results,
+                    n_deferred=n_def,
+                    n_fetched=n_results - n_miss,
+                    n_fetch_miss=n_miss,
+                    n_outlinks=-1,
+                    n_frontier_next=n_next,
+                    path="distributed",
+                    extra={
+                        "frontier_format": "partials",
+                        "fused_window": [k0, k0 + W - 1],
+                        "t_window": t_window,
+                    },
+                ),
+            )
+            nexts.append(n_next)
+            nf = n_next
+        return nexts
 
     def _finish_level(self, k: int, m: LevelMetrics) -> None:
         self.metrics.append(m)
@@ -843,7 +1252,16 @@ class CrawlEngine:
                 {"file": os.path.basename(f), "rows": pq.ParquetFile(f).metadata.num_rows}
                 for f in self.store.list_parts(d)
             ]
-        manifest = {"level": k, "metrics": m.__dict__, "partitions": lineage}
+        manifest = {
+            "level": k,
+            "metrics": m.__dict__,
+            "partitions": lineage,
+            # how frontier_next is encoded: "combined" = one frontier row
+            # per url (FRONTIER_SCHEMA); "partials" = combine-input rows
+            # (__cnt column) whose per-url merge happens in the NEXT
+            # level's schedule groups, with the deferred dir read alongside
+            "frontier_format": m.extra.get("frontier_format", "combined"),
+        }
         self.store.write_json(self._lvl(k, "manifest.json"), manifest)
 
     # ----------------------------------------------------------- entry points
@@ -938,23 +1356,62 @@ class CrawlEngine:
                 f"seen replay incomplete: {replayed} of {total} result urls"
             )
 
+    def _frontier_input(self, k_prev: int) -> tuple[list[str], int, str]:
+        """(files, total rows, format) of level ``k_prev``'s committed
+        next-frontier.  ``format="partials"`` (frontier_partials mode)
+        means the files are combine-input rows — frontier_next parts PLUS
+        the level's deferred partials (never merged into a combined
+        frontier) — and the reader must run the per-url combine (schedule
+        groups distributed, combine_frontier_pandas on the driver path)."""
+        fmt = "combined"
+        try:
+            with open(self._lvl(k_prev, "manifest.json")) as f:
+                fmt = json.load(f).get("frontier_format", "combined")
+        except (OSError, json.JSONDecodeError):
+            pass
+        dirs = [self._lvl(k_prev, "frontier_next")]
+        if fmt == "partials":
+            if self.cfg.budget is None:
+                raise ValueError(
+                    f"level {k_prev} committed frontier PARTIALS but the "
+                    "config has no per-host budget — the schedule groupby "
+                    "is where partials combine; resume with the budgeted "
+                    "config that wrote this checkpoint"
+                )
+            dirs.append(self._lvl(k_prev, "deferred"))
+        files = [f for d in dirs for f in self.store.list_parts(d)]
+        rows = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+        return files, rows, fmt
+
     def _loop(self, start: int, seed_tbl: pa.Table | None = None) -> list[LevelMetrics]:
         cfg = self.cfg
         k = start
         while k < cfg.max_levels:
             if seed_tbl is not None and k == start:
-                n_frontier, src = seed_tbl.num_rows, None
+                n_frontier, files, fmt = seed_tbl.num_rows, None, "combined"
             else:
-                src = self._lvl(k - 1, "frontier_next")
-                n_frontier = self.store.count_rows(src)
+                files, n_frontier, fmt = self._frontier_input(k - 1)
             if n_frontier == 0:
                 break
             if n_frontier <= cfg.small_level_rows:
-                tbl = (
-                    seed_tbl
-                    if src is None
-                    else self.store.read_table(src, FRONTIER_SCHEMA)
-                )
+                if files is None:
+                    tbl = seed_tbl
+                else:
+                    tbl = (
+                        pa.concat_tables(pq.read_table(f) for f in files)
+                        if files
+                        else FRONTIER_SCHEMA.empty_table()
+                    )
+                    if fmt == "partials":
+                        # driver fast path: the per-url merge the schedule
+                        # groups would do, whole-frame (same kernel)
+                        tbl = pa.Table.from_pandas(
+                            combine_frontier_pandas(
+                                tbl.to_pandas(), cfg.priority_policy
+                            ),
+                            schema=FRONTIER_SCHEMA,
+                            preserve_index=False,
+                        ).replace_schema_metadata(None)
                 n_next = self._run_level_small(k, tbl)
             else:
                 # two regimes (A/B-measured): tiny levels are pure wave
@@ -970,10 +1427,21 @@ class CrawlEngine:
                     )
                 ds = (
                     ray.data.from_arrow(seed_tbl)
-                    if src is None
-                    else _read_parquet_dir(self.store, src, FRONTIER_SCHEMA, num_blocks=nb)
+                    if files is None
+                    else ray.data.read_parquet(files, override_num_blocks=nb)
                 )
-                n_next = self._run_level_big(k, ds, n_frontier)
+                if (
+                    cfg.fused_levels > 1
+                    and cfg.frontier_partials
+                    and cfg.budget is not None
+                    and self._fetch_mode == "partitioned"
+                    and k + 1 < cfg.max_levels
+                ):
+                    nexts = self._run_level_window(k, ds, n_frontier)
+                    n_next = nexts[-1]
+                    k += len(nexts) - 1  # the window ran len(nexts) levels
+                else:
+                    n_next = self._run_level_big(k, ds, n_frontier)
             if n_next == 0:
                 break
             if (

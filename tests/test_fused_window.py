@@ -1,0 +1,169 @@
+"""Fused level windows ("level pipelining", CrawlConfig.fused_levels > 1):
+up to W consecutive distributed levels run as ONE streaming execution —
+level k+1's schedule shuffle overlaps level k's extract and the per-level
+execution fixed cost is paid once per window.  The seen check moves INTO
+the in-window schedule groups (exact by the all-to-all barrier chain) and
+the previous level's deferred partials are read there.  Semantics must be
+EXACTLY the per-level plan's: engine ≡ oracle, and fused ≡ unfused run for
+run for visited sets, links, and scheduled/deferred accounting."""
+
+import glob
+import json
+import os
+
+import pytest
+
+from crawler_uni_ray.oracle import crawl_oracle
+from crawler_uni_ray.pipelines.crawl import CrawlConfig, CrawlEngine
+
+from test_fold_retrim import write_dict_corpus
+from test_random_graphs import DOMAIN, random_corpus
+
+
+def _cfg(corpus_dir, ckpt, fused: int, **kw):
+    base = dict(
+        domain=DOMAIN,
+        ckpt_dir=ckpt,
+        corpus_path=corpus_dir,
+        fetch_mode="partitioned",
+        num_corpus_shards=4,
+        budget=2,
+        skew_threshold=1,  # every multi-candidate host goes hot
+        n_salts=4,
+        fetch_align_threshold=0,  # force the aligned fetch on every level
+        small_level_rows=0,  # distributed path only
+        priority_policy="indegree",
+        frontier_partials=True,
+        fused_levels=fused,
+    )
+    base.update(kw)
+    return CrawlConfig(**base)
+
+
+def _run(corpus_dir, ckpt, fused: int, **kw):
+    eng = CrawlEngine(_cfg(corpus_dir, ckpt, fused, **kw))
+    eng.run()
+    return eng
+
+
+def _windows_engaged(ckpt: str) -> bool:
+    """At least one committed level ran inside a multi-level window."""
+    for mf in glob.glob(os.path.join(ckpt, "level_*", "manifest.json")):
+        with open(mf) as f:
+            w = json.load(f)["metrics"].get("extra", {}).get("fused_window")
+        if w and w[1] > w[0]:
+            return True
+    return False
+
+
+def _accounting(eng):
+    return [(m.level, m.n_scheduled, m.n_deferred) for m in eng.metrics]
+
+
+@pytest.mark.parametrize("seed", [24, 48])
+def test_fused_window_conformance(ray_session, tmp_path, seed):
+    corpus = random_corpus(seed, n_urls=60)
+    corpus_dir = str(tmp_path / "corpus")
+    write_dict_corpus(corpus, corpus_dir, num_shards=4)
+    oracle = crawl_oracle(
+        corpus, DOMAIN, max_per_host_per_level=2, priority_policy="indegree"
+    )
+
+    eng = _run(corpus_dir, str(tmp_path / "fused"), fused=3)
+    assert eng.visited_depth() == oracle.visited_depth
+    links = [r["url"] for r in eng.all_links_sorted().take_all()]
+    assert links == oracle.sorted_links
+    assert _windows_engaged(eng.cfg.ckpt_dir), (
+        "no multi-level window ran — test setup no longer triggers fusing"
+    )
+
+    # fused ≡ per-level, level by level (committed level set included:
+    # trailing never-ran window levels must be elided, not committed)
+    ref = _run(corpus_dir, str(tmp_path / "perlevel"), fused=1)
+    assert ref.visited_depth() == oracle.visited_depth
+    assert _accounting(eng) == _accounting(ref)
+    assert eng.committed_levels() == ref.committed_levels()
+
+
+def test_fused_window_unsalted_and_unfolded(ray_session, tmp_path):
+    """The window must hold in EVERY schedule variant: no hot hosts
+    (schedule_level_fused) and the two-stage salted plan
+    (fold_retrim=False → schedule_level_fused_salted)."""
+    corpus = random_corpus(31, n_urls=60)
+    corpus_dir = str(tmp_path / "corpus")
+    write_dict_corpus(corpus, corpus_dir, num_shards=4)
+    oracle = crawl_oracle(
+        corpus, DOMAIN, max_per_host_per_level=2, priority_policy="indegree"
+    )
+    cold = _run(corpus_dir, str(tmp_path / "cold"), fused=3, skew_threshold=None)
+    assert cold.visited_depth() == oracle.visited_depth
+    assert _windows_engaged(cold.cfg.ckpt_dir)
+
+    twostage = _run(corpus_dir, str(tmp_path / "twostage"), fused=3, fold_retrim=False)
+    assert twostage.visited_depth() == oracle.visited_depth
+    links = [r["url"] for r in twostage.all_links_sorted().take_all()]
+    assert links == oracle.sorted_links
+
+
+def test_fused_window_manifest_backend(ray_session, tmp_path):
+    """Window side-writes (per-level results staging, deferred nb-parts,
+    frontier partials, host counts) must hold on the object-store manifest
+    backend too."""
+    corpus = random_corpus(27, n_urls=60)
+    corpus_dir = str(tmp_path / "corpus")
+    write_dict_corpus(corpus, corpus_dir, num_shards=4)
+    oracle = crawl_oracle(
+        corpus, DOMAIN, max_per_host_per_level=2, priority_policy="indegree"
+    )
+    eng = _run(corpus_dir, str(tmp_path / "m"), fused=3, storage="manifest")
+    assert eng.visited_depth() == oracle.visited_depth
+    links = [r["url"] for r in eng.all_links_sorted().take_all()]
+    assert links == oracle.sorted_links
+    assert _windows_engaged(eng.cfg.ckpt_dir)
+
+
+def test_fused_window_resume_at_window_boundary(ray_session, tmp_path):
+    """Stop after one full window, resume with a FRESH engine still in
+    window mode: the resumed run reads the boundary level's partials +
+    deferred dir and finishes ≡ oracle."""
+    corpus = random_corpus(56, n_urls=60)
+    corpus_dir = str(tmp_path / "corpus")
+    write_dict_corpus(corpus, corpus_dir, num_shards=4)
+    oracle = crawl_oracle(
+        corpus, DOMAIN, max_per_host_per_level=2, priority_policy="indegree"
+    )
+    ckpt = str(tmp_path / "ckpt")
+    partial = _run(corpus_dir, ckpt, fused=2, max_levels=2)
+    assert partial.committed_levels() == [0, 1]
+    assert _windows_engaged(ckpt)
+
+    resumed = CrawlEngine(_cfg(corpus_dir, ckpt, fused=2))
+    resumed.resume()
+    assert resumed.visited_depth() == oracle.visited_depth
+    links = [r["url"] for r in resumed.all_links_sorted().take_all()]
+    assert links == oracle.sorted_links
+
+
+def test_fused_window_resume_from_interrupted_window(ray_session, tmp_path):
+    """A crash mid-window leaves the later levels uncommitted (staged
+    results, side parts, no manifests).  Resume must drop the orphans and
+    re-run from the last committed level — simulated by deleting the
+    manifests of a finished run's tail levels."""
+    corpus = random_corpus(48, n_urls=60)
+    corpus_dir = str(tmp_path / "corpus")
+    write_dict_corpus(corpus, corpus_dir, num_shards=4)
+    oracle = crawl_oracle(
+        corpus, DOMAIN, max_per_host_per_level=2, priority_policy="indegree"
+    )
+    ckpt = str(tmp_path / "ckpt")
+    full = _run(corpus_dir, ckpt, fused=3)
+    levels = full.committed_levels()
+    assert len(levels) >= 3
+    for k in levels[2:]:  # "crash" after the first two committed levels
+        os.remove(os.path.join(ckpt, f"level_{k:04d}", "manifest.json"))
+
+    resumed = CrawlEngine(_cfg(corpus_dir, ckpt, fused=3))
+    resumed.resume()
+    assert resumed.visited_depth() == oracle.visited_depth
+    links = [r["url"] for r in resumed.all_links_sorted().take_all()]
+    assert links == oracle.sorted_links
