@@ -134,9 +134,11 @@ def bench_crawl() -> dict:
         # all-to-all); A/B override: GRAFT_FRONTIER_PARTIALS=0
         frontier_partials=os.environ.get("GRAFT_FRONTIER_PARTIALS", "1") == "1",
         # level pipelining: fuse up to W consecutive levels into one
-        # streaming execution (fixed cost paid once per window); A/B
-        # override: GRAFT_FUSED_LEVELS=1 reverts to per-level
-        fused_levels=int(os.environ.get("GRAFT_FUSED_LEVELS", "1")),
+        # streaming execution (fixed cost paid once per window).  W=3 won
+        # the interleaved A/B at 32 CPUs (avg 45.1 s vs 45.8 at W=2,
+        # 49.8 at W=1, 55+ at W=4 — large windows stack two big levels'
+        # working sets); GRAFT_FUSED_LEVELS=1 reverts to per-level
+        fused_levels=int(os.environ.get("GRAFT_FUSED_LEVELS", "3")),
     )
     t0 = time.time()
     eng = CrawlEngine(cfg)
