@@ -173,6 +173,10 @@ def bench_level() -> dict:
         fetch_mode="partitioned",
         num_corpus_shards=CORPUS_SHARDS,
         budget=LEVEL_PAGES,  # politeness machinery on; nothing deferred
+        # same hand-off as the headline: the level ends at durable
+        # next-frontier partials (no combine all-to-all);
+        # GRAFT_FRONTIER_PARTIALS=0 reverts to the combined write
+        frontier_partials=os.environ.get("GRAFT_FRONTIER_PARTIALS", "1") == "1",
         n_buckets=32,
         small_level_rows=0,
         seen_backend="exact",
