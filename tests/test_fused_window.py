@@ -144,6 +144,55 @@ def test_fused_window_resume_at_window_boundary(ray_session, tmp_path):
     assert links == oracle.sorted_links
 
 
+def test_fused_window_robots_and_none_policy(ray_session, tmp_path):
+    """Robots gating must stay exact inside a window: in-window levels
+    robots-filter the streaming outlink partials, while the previous
+    level's deferred partials are read back UN-refiltered — correct
+    because deferred rows passed the robots gate before they were ever
+    scheduled (robots are static per run).  Also exercises the
+    ``priority_policy="none"`` combine kernel in the window hook."""
+    corpus = random_corpus(39, n_urls=60)
+    corpus_dir = str(tmp_path / "corpus")
+    write_dict_corpus(corpus, corpus_dir, num_shards=4)
+    robots = {
+        "a.rnd.test": "User-agent: *\nDisallow: /p1",
+        "b.rnd.test": "User-agent: *\nDisallow: /",
+    }
+    oracle = crawl_oracle(
+        corpus, DOMAIN, max_per_host_per_level=2, robots=robots,
+        priority_policy="none",
+    )
+    eng = _run(
+        corpus_dir, str(tmp_path / "r"), fused=3,
+        robots=robots, priority_policy="none",
+    )
+    assert eng.visited_depth() == oracle.visited_depth
+    links = [r["url"] for r in eng.all_links_sorted().take_all()]
+    assert links == oracle.sorted_links
+    assert _windows_engaged(eng.cfg.ckpt_dir)
+
+
+def test_fused_window_max_pages_window_granular(ray_session, tmp_path):
+    """``max_pages`` is checked between windows (documented): the run
+    stops early, every committed level is still exactly the oracle's
+    BFS level, and the scheduled total reached the cap."""
+    corpus = random_corpus(44, n_urls=60)
+    corpus_dir = str(tmp_path / "corpus")
+    write_dict_corpus(corpus, corpus_dir, num_shards=4)
+    oracle = crawl_oracle(
+        corpus, DOMAIN, max_per_host_per_level=2, priority_policy="indegree"
+    )
+    full_depths = set(oracle.visited_depth.values())
+    eng = _run(corpus_dir, str(tmp_path / "mp"), fused=2, max_pages=5)
+    committed = eng.committed_levels()
+    assert len(committed) < len(full_depths), "cap did not stop the crawl"
+    assert sum(m.n_scheduled for m in eng.metrics) >= 5
+    want = {
+        u: d for u, d in oracle.visited_depth.items() if d in set(committed)
+    }
+    assert eng.visited_depth() == want
+
+
 def test_fused_window_resume_from_interrupted_window(ray_session, tmp_path):
     """A crash mid-window leaves the later levels uncommitted (staged
     results, side parts, no manifests).  Resume must drop the orphans and
