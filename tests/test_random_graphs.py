@@ -97,3 +97,43 @@ def test_random_graph_budget_salted_indegree(ray_session, tmp_path, seed):
     assert eng.visited_depth() == oracle.visited_depth
     links = [r["url"] for r in eng.all_links_sorted().take_all()]
     assert links == oracle.sorted_links
+
+
+@pytest.mark.parametrize("seed", [19, 29, 37])
+def test_random_graph_full_r4_stack(ray_session, tmp_path, seed):
+    """The complete round-4 configuration on adversarial graphs: budget +
+    forced salting + indegree priorities + frontier PARTIALS hand-off +
+    fused level windows + the object-store manifest storage backend, over
+    the hash-partitioned corpus with the aligned fetch — the exact
+    headline-bench control plane.  Engine ≡ oracle per-depth sets and
+    byte-equal sorted links."""
+    from test_fold_retrim import write_dict_corpus
+
+    corpus = random_corpus(seed, n_urls=60)
+    corpus_dir = str(tmp_path / "corpus")
+    write_dict_corpus(corpus, corpus_dir, num_shards=4)
+    oracle = crawl_oracle(
+        corpus, DOMAIN, max_per_host_per_level=2, priority_policy="indegree"
+    )
+    eng = CrawlEngine(
+        CrawlConfig(
+            domain=DOMAIN,
+            ckpt_dir=str(tmp_path / f"c{seed}"),
+            corpus_path=corpus_dir,
+            fetch_mode="partitioned",
+            num_corpus_shards=4,
+            fetch_align_threshold=0,
+            budget=2,
+            skew_threshold=1,
+            n_salts=4,
+            priority_policy="indegree",
+            small_level_rows=0,
+            frontier_partials=True,
+            fused_levels=3,
+            storage="manifest",
+        )
+    )
+    eng.run()
+    assert eng.visited_depth() == oracle.visited_depth
+    links = [r["url"] for r in eng.all_links_sorted().take_all()]
+    assert links == oracle.sorted_links
