@@ -17,6 +17,9 @@ default        headline = full BFS crawl (politeness budget + skew salting,
                on the SAME pre-generated input and reports both
                throughputs + efficiency = (rate32/rate8)/4 (north_rule
                N→4N criterion, sandboxed per SURVEY.md §4.6).
+--crawl        headline crawl ONLY (no queries) — the quick A/B loop for
+               control-plane changes (pair with GRAFT_FUSED_LEVELS /
+               GRAFT_FRONTIER_PARTIALS).
 """
 
 from __future__ import annotations
@@ -459,5 +462,11 @@ if __name__ == "__main__":
         print(json.dumps(run_scaling()))
     elif "--level" in sys.argv:
         print(json.dumps(run_level_once()))
+    elif "--crawl" in sys.argv:
+        ray = _init_ray()
+        crawl = bench_crawl()
+        ray.shutdown()
+        print(json.dumps({"metric": "crawl_wall_sec", "value": crawl["crawl_sec"],
+                          "unit": "sec", "num_cpus": NUM_CPUS, **crawl}))
     else:
         print(json.dumps(run_once()))
