@@ -663,29 +663,33 @@ def simhash_dup_pairs(
         if len(g) < 2:
             return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
         recs = sorted(set(zip(g[id_col], g["simhash"])))
-        if len(recs) > MAX_BUCKET_MEMBERS:
+        ids = np.fromiter((r[0] for r in recs), np.int64, count=len(recs))
+        hs = np.fromiter((r[1] for r in recs), np.int64, count=len(recs)).view(
+            np.uint64
+        )
+        m = len(recs)
+        if m > MAX_BUCKET_MEMBERS:
             logger.warning(
                 "SimHash bucket with %d members exceeds cap %d: star+chain-linking",
-                len(recs),
+                m,
                 MAX_BUCKET_MEMBERS,
             )
             # star + chain (see _pairs_from_groups): one far hub can't
             # zero out the bucket after the hamming filter
-            cand = [(recs[0], r) for r in recs[1:]] + list(zip(recs[1:-1], recs[2:]))
+            ia = np.concatenate([np.zeros(m - 1, np.intp), np.arange(1, m - 1)])
+            ib = np.concatenate([np.arange(1, m), np.arange(2, m)])
         else:
-            cand = [
-                (recs[i], recs[j])
-                for i in range(len(recs))
-                for j in range(i + 1, len(recs))
-            ]
-        out = {"id_a": [], "id_b": [], "hamming": []}
-        for (ia, ha), (ib, hb) in cand:
-            d = bin(int(np.uint64(ha)) ^ int(np.uint64(hb))).count("1")
-            if d <= max_hamming:
-                out["id_a"].append(ia)
-                out["id_b"].append(ib)
-                out["hamming"].append(d)
-        return pd.DataFrame(out)
+            ia, ib = np.triu_indices(m, k=1)
+        # vectorized hamming (VERDICT r4 #6): XOR the candidate matrix,
+        # popcount via byte-unpack — no per-pair Python loop
+        x = hs[ia] ^ hs[ib]
+        d = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(
+            axis=1, dtype=np.int64
+        )
+        keep = d <= max_hamming
+        return pd.DataFrame(
+            {"id_a": ids[ia[keep]], "id_b": ids[ib[keep]], "hamming": d[keep]}
+        )
 
     pairs = _pairs_by_bucket(
         exploded, _pairs, {"id_a": "int64", "id_b": "int64", "hamming": "int64"}

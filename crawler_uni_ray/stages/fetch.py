@@ -115,9 +115,12 @@ class HttpFetcher:
         # ``burst`` capacity — throttles THIS actor's threads.  The
         # deterministic per-level budget upstream stays the conformance
         # semantics; this bounds the instantaneous request rate a live
-        # host sees.  NOTE the bucket is per actor: for a strict global
-        # per-host cap, run concurrency=1 or divide the rate by pool size
-        # (the per-host scheduler already concentrates a host's URLs).
+        # host sees.  The bucket is per actor; ``fetch_http`` (the only
+        # constructor of this pool) divides the user's global per-host
+        # rate by the pool's max size before it reaches here
+        # (rate_scope="global", the default), so the AGGREGATE rate a
+        # host sees across the whole pool never exceeds the configured
+        # cap — conservative when the autoscaling pool runs below max.
         self.rate = rate_per_host
         self.burst = max(1.0, float(burst))
         self._buckets: dict[str, tuple[float, float]] = {}
@@ -166,15 +169,30 @@ def fetch_http(
     concurrency: int | tuple[int, int] = (1, 4),
     batch_size: int = 64,
     rate_per_host: float | None = None,
+    rate_scope: str = "global",
 ) -> Dataset:
     """Actor-pool live fetch.  Sizing: each actor overlaps ~10 in-flight
     requests; scale the pool (``concurrency``) to the politeness budget —
     the per-host scheduler upstream already bounds per-host pressure.
-    ``rate_per_host`` adds a wall-clock per-host token bucket per actor
-    (requests/sec) on top of the deterministic per-level budget."""
+
+    ``rate_per_host`` adds a wall-clock per-host token bucket (requests/
+    sec) on top of the deterministic per-level budget.  With
+    ``rate_scope="global"`` (default) the rate is a cap on what the host
+    sees from the WHOLE pool: each actor's bucket gets
+    ``rate_per_host / max_pool_size``, so the aggregate can never exceed
+    the configured rate even when a host's URLs land on several actors
+    (conservative — an autoscaled pool running below max under-uses the
+    budget).  ``rate_scope="actor"`` keeps the raw per-actor bucket (the
+    pre-r5 behavior: aggregate up to pool_size × rate)."""
+    actor_rate = rate_per_host
+    if rate_per_host is not None and rate_scope == "global":
+        max_pool = concurrency if isinstance(concurrency, int) else concurrency[1]
+        actor_rate = rate_per_host / max(1, int(max_pool))
+    elif rate_scope not in ("global", "actor"):
+        raise ValueError(f"rate_scope must be 'global' or 'actor': {rate_scope!r}")
     return ds.map_batches(
         HttpFetcher,
-        fn_constructor_kwargs={"timeout": timeout, "rate_per_host": rate_per_host},
+        fn_constructor_kwargs={"timeout": timeout, "rate_per_host": actor_rate},
         concurrency=concurrency,
         batch_size=batch_size,
         batch_format="pyarrow",

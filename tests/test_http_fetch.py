@@ -107,6 +107,43 @@ def test_http_rate_limit_spaces_requests_per_host(ray_session):
         srv_b.shutdown()
 
 
+def test_http_rate_limit_global_across_pool(ray_session):
+    """VERDICT r4 #5: with rate_scope="global" (the default) the host's
+    AGGREGATE request rate across a concurrency≥2 actor pool stays under
+    rate_per_host — fetch_http divides the rate by the pool's max size,
+    so even if every actor gets some of the host's URLs the sum of the
+    per-actor buckets equals the configured cap."""
+    rec: list = []
+    srv = _recording_server(rec)
+    try:
+        host = f"127.0.0.1:{srv.server_address[1]}"
+        n = 10
+        urls = [f"http://{host}/p{i}.html" for i in range(n)]
+        ds = ray.data.from_arrow(frontier_table(urls)).repartition(4)
+        out = fetch_http(
+            ds,
+            timeout=5.0,
+            concurrency=2,
+            batch_size=3,
+            rate_per_host=10.0,  # global cap: 10 req/s TOTAL, 5/s per actor
+        )
+        assert out.to_pandas()["fetched"].all()
+        assert len(rec) == n
+        ts = sorted(rec)
+        span = ts[-1] - ts[0]
+        # 10 requests at an aggregate ≤ 10/s with burst 1 per actor (2
+        # burst tokens total) must span ≥ (10-2)/10 = 0.8 s; allow jitter.
+        # Un-capped (or per-actor-scoped at pool size 2) this collapses —
+        # per-actor scope would finish in ~(10-2)/20 = 0.4 s.
+        assert span >= 0.6, (span, ts)
+        # no 1-second window may see more than rate + total burst + 1
+        for i, t0 in enumerate(ts):
+            in_window = sum(1 for t in ts[i:] if t - t0 <= 1.0)
+            assert in_window <= 13, (in_window, ts)
+    finally:
+        srv.shutdown()
+
+
 def test_http_fetch_stage_semantics(ray_session, http_site):
     """Hit → bytes; 404 → miss; timeout → miss; refused port → miss —
     never a task failure (errors are data)."""
