@@ -514,6 +514,102 @@ def test_persisted_index_writers_idempotent_and_bounded(ray_session, tmp_path):
         assert not [k for k in first if k.endswith(".tmp")]
 
 
+def test_index_writer_memory_bounded_subparts(ray_session, tmp_path):
+    """VERDICT r4 #1: the persisted-index writer derives its shuffle from
+    the corpus size — no group task materializes more than ~rows_per_group
+    rows, hot partitions split into ≥2 deterministic id-hash sub-part
+    files, query results are unchanged, and a replayed write is still
+    bit-identical (retry idempotency survives the chunked layout)."""
+    import hashlib
+    import os
+
+    import ray.data as rd
+
+    from crawler_uni_ray.functions import similarity as fsim
+
+    rng = np.random.RandomState(11)
+    n, dim = 4000, 16
+    emb = pd.DataFrame(
+        {
+            "vec_id": np.arange(n, dtype=np.int64),
+            "embedding": list(rng.normal(size=(n, dim)).astype(np.float64)),
+        }
+    )
+    ds = rd.from_pandas(emb).repartition(8)
+    qmat = np.stack(emb["embedding"].to_numpy()[:6])
+    qids = emb["vec_id"].tolist()[:6]
+
+    def _snapshot(root):
+        out = {}
+        for dirpath, _d, files in os.walk(root):
+            for f in sorted(files):
+                p = os.path.join(dirpath, f)
+                out[os.path.relpath(p, root)] = hashlib.sha1(
+                    open(p, "rb").read()
+                ).hexdigest()
+        return out
+
+    # plan sizing itself: 10^9 rows never yields corpus/32 groups
+    shards, sub = fsim._writer_plan(10**9, 4096, 1_000_000)
+    assert shards == 1000 and sub == 1
+    shards, sub = fsim._writer_plan(10**9, 16, 1_000_000)
+    assert shards == 1000 and sub == 63  # hot 16-list index splits by id
+    assert fsim._writer_plan(None, 16, 1_000_000) == (32, 1)
+
+    idx = str(tmp_path / "ivf_bounded")
+    stats: dict = {}
+    fsim.write_ivf_index(
+        ds, idx, n_centroids=8, rows_per_group=250, stats_out=stats
+    )
+    # memory bound: n=4000, rows_per_group=250 → 16 groups, 2 sub-parts
+    assert stats["n_shards"] == 16 and stats["n_sub"] == 2
+    assert stats["n_rows_written"] == n
+    # hash-mixed (part, sub) cells per group: allow modest imbalance but
+    # never the old corpus/32 concentration
+    assert stats["max_group_rows"] <= 4 * 250, stats
+    # ≥2 sub-part files in at least one list dir, all deterministic names
+    lists = os.path.join(idx, "lists")
+    per_dir = [
+        [f for f in os.listdir(os.path.join(lists, d)) if f.endswith(".parquet")]
+        for d in sorted(os.listdir(lists))
+    ]
+    assert max(len(fs) for fs in per_dir) >= 2, per_dir
+    assert all(len(fs) <= stats["n_sub"] for fs in per_dir)
+
+    # query results identical to the in-memory plan, exhaustive == brute
+    full, full_stats = fsim.ann_ivf_persisted(idx, qmat, qids, k=10, nprobe=8)
+    assert full_stats["rows_read"] == n
+    exact = fsim.ann_bruteforce(ds, qmat, qids, k=10)
+    pd.testing.assert_frame_equal(
+        full.sort_values(["query_id", "rank"]).reset_index(drop=True),
+        exact.sort_values(["query_id", "rank"]).reset_index(drop=True),
+        check_dtype=False,
+    )
+
+    # replay (retry scenario) is still bit-identical under sub-parts
+    first = _snapshot(idx)
+    fsim.write_ivf_index(ds, idx, n_centroids=8, rows_per_group=250)
+    assert _snapshot(idx) == first
+
+    # LSH path through the same writer: sub-parts + unchanged results
+    lidx = str(tmp_path / "lsh_bounded")
+    lstats: dict = {}
+    fsim.write_lsh_index(
+        ds, lidx, n_planes=3, dim=dim, rows_per_group=250, stats_out=lstats
+    )
+    assert lstats["n_shards"] == 16 and lstats["n_sub"] == 2
+    assert lstats["n_rows_written"] == n
+    got, _ = fsim.ann_lsh_persisted(lidx, qmat, qids, k=10, multiprobe_bits=1)
+    in_mem = fsim.ann_lsh(
+        ds, qmat, qids, k=10, n_planes=3, multiprobe_bits=1
+    )
+    pd.testing.assert_frame_equal(
+        got.sort_values(["query_id", "rank"]).reset_index(drop=True),
+        in_mem.sort_values(["query_id", "rank"]).reset_index(drop=True),
+        check_dtype=False,
+    )
+
+
 def test_kmeans_driver_sample_is_capped(ray_session):
     """sample_mod=None must derive a mod that bounds the driver-side
     collect (round-2 default materialized the whole table)."""
