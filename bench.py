@@ -142,6 +142,15 @@ def bench_crawl() -> dict:
         # 49.8 at W=1, 55+ at W=4 — large windows stack two big levels'
         # working sets); GRAFT_FUSED_LEVELS=1 reverts to per-level
         fused_levels=int(os.environ.get("GRAFT_FUSED_LEVELS", "3")),
+        # adaptive window sizing: cap the ESTIMATED rows executing in one
+        # window (fused_levels becomes the cap, not the width) so tiny
+        # tail/head levels fuse wide while big mid-levels run narrow.
+        # 0/unset = static windows; A/B via GRAFT_FUSED_WINDOW_ROWS
+        fused_window_rows=(
+            int(os.environ["GRAFT_FUSED_WINDOW_ROWS"])
+            if os.environ.get("GRAFT_FUSED_WINDOW_ROWS")
+            else None
+        ),
     )
     t0 = time.time()
     eng = CrawlEngine(cfg)

@@ -173,6 +173,19 @@ class CrawlConfig:
     # a budget + partitioned fetch; hot-host sets are window-static (stale
     # by ≤ fused_levels-1 levels — salting is perf-only, semantics are
     # unchanged).  max_pages is checked between windows.
+    fused_window_rows: int | None = None  # adaptive window sizing: when
+    # set, each window's width is chosen at entry so the ESTIMATED total
+    # frontier rows executing in one window stay under this target —
+    # ``fused_levels`` becomes the CAP, not the fixed width.  Level sizes
+    # inside a lazy window are unknowable up front, so the estimate
+    # extrapolates from the entry count with the growth ratio observed on
+    # the last completed level (clamped ×/÷8).  Rationale (r4 A/B): one
+    # execution stacking consecutive 50-70k-row levels' working sets
+    # regressed ~20% (W=4 vs W=3), while tiny tail/head levels tolerate —
+    # and want — much wider windows (the ~0.8 s/level fixed cost is the
+    # whole cost there).  None = static ``fused_levels`` windows.  Any
+    # width is semantically exact (same barrier-chain argument), so this
+    # knob is perf-only
     verbose: bool = False  # print one progress line as each level commits
 
 
@@ -729,7 +742,9 @@ class CrawlEngine:
         df = t.to_pandas().groupby("host", as_index=False)["n"].sum()
         return set(df.loc[df["n"] > self.cfg.skew_threshold, "host"])
 
-    def _run_level_big(self, k: int, frontier: Dataset, n_frontier: int) -> int:
+    def _run_level_big(
+        self, k: int, frontier: Dataset, n_frontier: int, in_fmt: str = "combined"
+    ) -> int:
         """Distributed path: every control-plane stage is a Dataset op,
         FUSED into one streaming execution per level: the schedule shuffle
         streams into seen-add → fetch → extract, results are side-written
@@ -1002,12 +1017,55 @@ class CrawlEngine:
                     "t_main": round(_t_main, 2),
                     "t_next": round(_t_next, 2),
                     "frontier_format": "partials" if use_partials else "combined",
+                    # count units (ADVICE r4): in partials mode the frontier
+                    # counts are combine-input PARTIAL ROWS (pre-merge, may
+                    # exceed unique urls), not urls — downstream tooling
+                    # must not compare across formats under one name
+                    "n_frontier_unit": (
+                        "partial_rows" if in_fmt == "partials" else "urls"
+                    ),
+                    "n_frontier_next_unit": (
+                        "partial_rows" if use_partials else "urls"
+                    ),
                 },
             ),
         )
         return n_next
 
-    def _run_level_window(self, k0: int, frontier: Dataset, n_frontier: int) -> list[int]:
+    def _window_size(self, k0: int, n_frontier: int) -> int:
+        """Width of the fused window starting at level ``k0`` (see
+        ``CrawlConfig.fused_window_rows``).  Static ``fused_levels`` when
+        the adaptive target is unset; otherwise the largest W ≤
+        ``fused_levels`` whose estimated cumulative frontier rows fit the
+        target (always ≥ 1 — a single over-target level still runs)."""
+        cfg = self.cfg
+        w_max = min(cfg.fused_levels, cfg.max_levels - k0)
+        target = cfg.fused_window_rows
+        if not target or w_max <= 1:
+            return w_max
+        ratio = 1.0
+        for m in reversed(self.metrics):
+            if m.n_frontier > 0 and m.n_frontier_next > 0:
+                ratio = min(8.0, max(0.125, m.n_frontier_next / m.n_frontier))
+                break
+        est = float(max(n_frontier, 1))
+        total, w = est, 1
+        while w < w_max:
+            est *= ratio
+            if total + est > target:
+                break
+            total += est
+            w += 1
+        return w
+
+    def _run_level_window(
+        self,
+        k0: int,
+        frontier: Dataset,
+        n_frontier: int,
+        in_fmt: str = "combined",
+        W: int | None = None,
+    ) -> list[int]:
         """Fused level window ("level pipelining"): up to ``fused_levels``
         consecutive distributed levels built as ONE streaming execution —
         level k+1's schedule shuffle overlaps level k's extract, and the
@@ -1036,7 +1094,8 @@ class CrawlEngine:
         cfg = self.cfg
         frontier.context.op_resource_reservation_enabled = False
         frontier.context.target_max_block_size = cfg.target_block_size_mb * 1024 * 1024
-        W = min(cfg.fused_levels, cfg.max_levels - k0)
+        if W is None:
+            W = min(cfg.fused_levels, cfg.max_levels - k0)
         dedup_buckets = (
             cfg.num_corpus_shards if self._fetch_mode == "partitioned" else cfg.n_buckets
         )
@@ -1223,6 +1282,14 @@ class CrawlEngine:
                         "frontier_format": "partials",
                         "fused_window": [k0, k0 + W - 1],
                         "t_window": t_window,
+                        # count units (ADVICE r4): in-window levels are fed
+                        # partial rows; only the window head may see urls
+                        "n_frontier_unit": (
+                            "partial_rows"
+                            if (j > 0 or in_fmt == "partials")
+                            else "urls"
+                        ),
+                        "n_frontier_next_unit": "partial_rows",
                     },
                 ),
             )
@@ -1261,6 +1328,11 @@ class CrawlEngine:
             # (__cnt column) whose per-url merge happens in the NEXT
             # level's schedule groups, with the deferred dir read alongside
             "frontier_format": m.extra.get("frontier_format", "combined"),
+            # units of the frontier counts above (ADVICE r4): partial-row
+            # counts overcount unique urls, so consumers must not compare
+            # levels across formats under one field name
+            "n_frontier_unit": m.extra.get("n_frontier_unit", "urls"),
+            "n_frontier_next_unit": m.extra.get("n_frontier_next_unit", "urls"),
         }
         self.store.write_json(self._lvl(k, "manifest.json"), manifest)
 
@@ -1371,13 +1443,6 @@ class CrawlEngine:
             pass
         dirs = [self._lvl(k_prev, "frontier_next")]
         if fmt == "partials":
-            if self.cfg.budget is None:
-                raise ValueError(
-                    f"level {k_prev} committed frontier PARTIALS but the "
-                    "config has no per-host budget — the schedule groupby "
-                    "is where partials combine; resume with the budgeted "
-                    "config that wrote this checkpoint"
-                )
             dirs.append(self._lvl(k_prev, "deferred"))
         files = [f for d in dirs for f in self.store.list_parts(d)]
         rows = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
@@ -1393,6 +1458,22 @@ class CrawlEngine:
                 files, n_frontier, fmt = self._frontier_input(k - 1)
             if n_frontier == 0:
                 break
+            if fmt == "partials" and cfg.budget is None and (
+                n_frontier > cfg.small_level_rows
+            ):
+                # the distributed per-url merge of partial rows happens in
+                # the schedule groupby, which only exists under a budget —
+                # fetching un-combined duplicate rows would be wrong.  A
+                # SMALL partials level needs no budget: the driver path
+                # below merges whole-frame via combine_frontier_pandas
+                raise ValueError(
+                    f"level {k - 1} committed frontier PARTIALS "
+                    f"({n_frontier} rows > small_level_rows="
+                    f"{cfg.small_level_rows}) but the config has no "
+                    "per-host budget — the schedule groupby is where "
+                    "partials combine; resume with the budgeted config "
+                    "that wrote this checkpoint"
+                )
             if n_frontier <= cfg.small_level_rows:
                 if files is None:
                     tbl = seed_tbl
@@ -1437,11 +1518,13 @@ class CrawlEngine:
                     and self._fetch_mode == "partitioned"
                     and k + 1 < cfg.max_levels
                 ):
-                    nexts = self._run_level_window(k, ds, n_frontier)
+                    nexts = self._run_level_window(
+                        k, ds, n_frontier, in_fmt=fmt, W=self._window_size(k, n_frontier)
+                    )
                     n_next = nexts[-1]
                     k += len(nexts) - 1  # the window ran len(nexts) levels
                 else:
-                    n_next = self._run_level_big(k, ds, n_frontier)
+                    n_next = self._run_level_big(k, ds, n_frontier, in_fmt=fmt)
             if n_next == 0:
                 break
             if (

@@ -169,8 +169,9 @@ def test_frontier_partials_resume(ray_session, tmp_path):
 
 
 def test_frontier_partials_resume_requires_budget(ray_session, tmp_path):
-    """A partials checkpoint resumed without a budget must fail loudly —
-    silently fetching un-combined duplicate rows would be wrong."""
+    """A partials checkpoint resumed without a budget must fail loudly ON
+    THE DISTRIBUTED PATH — silently fetching un-combined duplicate rows
+    would be wrong (small_level_rows=0 here forces that path)."""
     corpus = random_corpus(56, n_urls=60)
     corpus_dir = str(tmp_path / "corpus")
     write_dict_corpus(corpus, corpus_dir, num_shards=4)
@@ -179,3 +180,33 @@ def test_frontier_partials_resume_requires_budget(ray_session, tmp_path):
     bad = CrawlEngine(_cfg(corpus_dir, ckpt, partials=True, budget=None))
     with pytest.raises(ValueError, match="frontier PARTIALS"):
         bad.resume()
+
+
+def test_frontier_partials_small_resume_budget_free(ray_session, tmp_path):
+    """ADVICE r4: a partials checkpoint whose next level fits the DRIVER
+    fast path resumes budget-free — the whole-frame combine_frontier_pandas
+    needs no schedule groupby.  Equivalence witness: the same budget-free
+    resume from an identical-prefix COMBINED-format checkpoint visits the
+    exact same urls at the same depths."""
+    corpus = random_corpus(56, n_urls=60)
+    corpus_dir = str(tmp_path / "corpus")
+    write_dict_corpus(corpus, corpus_dir, num_shards=4)
+    resumed = {}
+    for fmt, partials in (("partials", True), ("combined", False)):
+        ckpt = str(tmp_path / f"ckpt_{fmt}")
+        _run(corpus_dir, ckpt, partials=partials, max_levels=2)
+        eng = CrawlEngine(
+            _cfg(
+                corpus_dir,
+                ckpt,
+                partials=partials,
+                budget=None,
+                small_level_rows=100_000,  # every level takes the driver path
+            )
+        )
+        eng.resume()  # must NOT raise for either format
+        resumed[fmt] = eng
+    assert resumed["partials"].visited_depth() == resumed["combined"].visited_depth()
+    a = [r["url"] for r in resumed["partials"].all_links_sorted().take_all()]
+    b = [r["url"] for r in resumed["combined"].all_links_sorted().take_all()]
+    assert a == b

@@ -193,6 +193,83 @@ def test_fused_window_max_pages_window_granular(ray_session, tmp_path):
     assert eng.visited_depth() == want
 
 
+def _window_extents(ckpt: str) -> set[tuple[int, int]]:
+    out = set()
+    for mf in glob.glob(os.path.join(ckpt, "level_*", "manifest.json")):
+        with open(mf) as f:
+            w = json.load(f)["metrics"].get("extra", {}).get("fused_window")
+        if w:
+            out.add(tuple(w))
+    return out
+
+
+def test_adaptive_window_size_policy(ray_session, tmp_path):
+    """_window_size: static width when the row target is unset; under a
+    target, width shrinks as the entry count (extrapolated by the last
+    observed growth ratio) fills the budget — never below 1, never above
+    the fused_levels cap, never past max_levels."""
+    from crawler_uni_ray.pipelines.crawl import LevelMetrics
+
+    eng = CrawlEngine(
+        _cfg(str(tmp_path / "c"), str(tmp_path / "k"), fused=4, max_levels=100)
+    )
+    assert eng._window_size(0, 10) == 4  # fused_window_rows unset → static
+
+    eng.cfg.fused_window_rows = 1000
+    # no history → ratio 1.0: floor(1000/300) capped at 3 full levels
+    assert eng._window_size(0, 300) == 3
+    assert eng._window_size(0, 5) == 4  # tiny head levels → the full cap
+    assert eng._window_size(0, 2000) == 1  # one over-target level still runs
+    eng.cfg.max_levels = 2
+    assert eng._window_size(1, 5) == 1  # never past max_levels
+    eng.cfg.max_levels = 100
+
+    # growth history: last level tripled → 300, est 900 already busts 1000
+    eng.metrics.append(
+        LevelMetrics(
+            level=0, n_frontier=100, n_candidates=0, n_scheduled=0,
+            n_deferred=0, n_fetched=0, n_fetch_miss=0, n_outlinks=0,
+            n_frontier_next=300,
+        )
+    )
+    assert eng._window_size(1, 300) == 1
+    # shrinking frontier (ratio 1/3, clamped ≥ 0.125) → windows widen
+    eng.metrics[-1] = LevelMetrics(
+        level=0, n_frontier=300, n_candidates=0, n_scheduled=0,
+        n_deferred=0, n_fetched=0, n_fetch_miss=0, n_outlinks=0,
+        n_frontier_next=100,
+    )
+    assert eng._window_size(1, 600) == 4  # 600+200+67+22 = 889 ≤ 1000 → full cap
+    del eng  # seen actors GC with the session
+
+
+def test_adaptive_window_conformance(ray_session, tmp_path):
+    """Adaptive widths must not change semantics: a tiny row target
+    (every window degenerates toward W=1) and a huge one (full fused cap)
+    both ≡ oracle, and the committed window extents actually differ."""
+    corpus = random_corpus(24, n_urls=60)
+    corpus_dir = str(tmp_path / "corpus")
+    write_dict_corpus(corpus, corpus_dir, num_shards=4)
+    oracle = crawl_oracle(
+        corpus, DOMAIN, max_per_host_per_level=2, priority_policy="indegree"
+    )
+    narrow = _run(
+        corpus_dir, str(tmp_path / "narrow"), fused=4, fused_window_rows=1
+    )
+    wide = _run(
+        corpus_dir, str(tmp_path / "wide"), fused=4, fused_window_rows=10_000_000
+    )
+    for eng in (narrow, wide):
+        assert eng.visited_depth() == oracle.visited_depth
+        links = [r["url"] for r in eng.all_links_sorted().take_all()]
+        assert links == oracle.sorted_links
+    ext_n = _window_extents(narrow.cfg.ckpt_dir)
+    ext_w = _window_extents(wide.cfg.ckpt_dir)
+    assert all(b - a == 0 for a, b in ext_n), f"narrow target fused: {ext_n}"
+    assert any(b - a == 3 for a, b in ext_w), f"wide target never hit cap: {ext_w}"
+    assert _accounting(narrow) == _accounting(wide)
+
+
 def test_fused_window_resume_from_interrupted_window(ray_session, tmp_path):
     """A crash mid-window leaves the later levels uncommitted (staged
     results, side parts, no manifests).  Resume must drop the orphans and
