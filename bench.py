@@ -191,7 +191,14 @@ def bench_level() -> dict:
         frontier_partials=os.environ.get("GRAFT_FRONTIER_PARTIALS", "1") == "1",
         n_buckets=32,
         small_level_rows=0,
-        seen_backend="exact",
+        # GRAFT_SEEN_BACKEND=bloom|cuckoo A/Bs the approximate seen-set
+        # backends at this 500k-URL scale (default exact).  CAVEAT: a
+        # false positive reads as "already seen" ⇒ that page is silently
+        # DROPPED — conformance holds only in expectation (negligible at
+        # this sizing: 2 MiB/shard over ~62k keys/shard, FP ~1e-11; at the
+        # design point size bloom_bits ≈ 10×keys/shard for ~1% FP).
+        # Cuckoo supports delete but shares the same FP⇒drop caveat.
+        seen_backend=os.environ.get("GRAFT_SEEN_BACKEND", "exact"),
         num_seen_shards=8,
     )
 
@@ -211,13 +218,23 @@ def bench_level() -> dict:
     m = eng.process_frontier(frontier, n_frontier=LEVEL_HOSTS * LEVEL_PAGES + 1)
     dt = time.time() - t0
     shutil.rmtree(ckpt, ignore_errors=True)
-    return {
+    out = {
         "level_sec": round(dt, 3),
         "level_urls": m.n_scheduled,
         "level_urls_per_sec": round(m.n_scheduled / dt, 1),
         "level_pages_fetched_per_sec": round(m.n_fetched / dt, 1),
         "phase_sec": m.extra,
+        "seen_backend": cfg.seen_backend,
     }
+    if cfg.seen_backend != "exact":
+        # the conformance caveat travels WITH the number: approximate
+        # backends drop a page on a seen-set false positive, so these
+        # runs are perf evidence, not correctness evidence
+        out["seen_backend_caveat"] = (
+            "approximate seen set: false positive => page silently "
+            "dropped; n_scheduled may undercount vs exact"
+        )
+    return out
 
 
 def bench_queries() -> dict:

@@ -49,7 +49,6 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
 from contextlib import contextmanager
 from dataclasses import dataclass, field
 
@@ -140,7 +139,8 @@ class CrawlConfig:
     target_block_size_mb: int = 32
     storage: str = "posix"  # durability backend (state/storage.py):
     # "posix" = rename commits on one shared filesystem; "manifest" =
-    # write-then-manifest, the object-store protocol (no dir renames)
+    # write-then-manifest, the object-store protocol (no dir renames);
+    # "fakeobj" = audited PUT/LIST/DELETE-only emulator (protocol proof)
     fold_retrim: bool = True  # salted levels on the aligned partitioned
     # fetch path: fold the exact per-host re-trim + seen-marking into the
     # fetch-align groupby (one fewer all-to-all barrier per salted level;
@@ -217,9 +217,11 @@ def _write_atomic(store, ds: Dataset, final_dir: str) -> int:
 
 
 def _write_atomic_table(store, tbl: pa.Table, final_dir: str) -> int:
-    """Driver-side single-file variant for small artifacts."""
+    """Driver-side single-file variant for small artifacts.  The part goes
+    through ``store.write_part`` (single-object PUT) so the whole staged
+    commit stays on the seam's primitives."""
     staged = store.begin_dir(final_dir)
-    pq.write_table(tbl, os.path.join(staged, "part-0.parquet"), compression="zstd")
+    store.write_part(staged, "part-0.parquet", tbl)
     store.commit_dir(final_dir, staged)
     return tbl.num_rows
 
@@ -1363,7 +1365,7 @@ class CrawlEngine:
 
     def run(self) -> list[LevelMetrics]:
         """Fresh crawl from the seed list."""
-        shutil.rmtree(self.cfg.ckpt_dir, ignore_errors=True)
+        self.store.remove_dir(self.cfg.ckpt_dir)  # prefix DELETE on the seam
         os.makedirs(self.cfg.ckpt_dir, exist_ok=True)
         seeds = self.cfg.seeds or [f"https://{self.cfg.domain}"]
         with self._ctx_overrides():
