@@ -69,6 +69,7 @@ def crawl_oracle(
     robots: dict[str, str] | None = None,
     priority_policy: str = "none",
     max_levels: int = 1000,
+    seeds: list[str] | None = None,
 ) -> CrawlResult:
     """Run the level-synchronous reference loop over an in-memory corpus.
 
@@ -84,7 +85,11 @@ def crawl_oracle(
     res = CrawlResult()
     rp = _build_robots(robots) if robots else {}
     # frontier: url → priority (the engine's frontier table, driver-sized)
-    frontier: dict[str, float] = {f"https://{domain}": 0.0}  # raw seed, crawler.py:76
+    # default: the raw un-cleaned seed string, crawler.py:76; ``seeds``
+    # mirrors CrawlConfig.seeds (multi-seed runs, e.g. sitemap ingestion)
+    frontier: dict[str, float] = {
+        u: 0.0 for u in (seeds or [f"https://{domain}"])
+    }
     level = 0
     while frontier and level < max_levels:
         # dedup at dequeue (crawler.py:55-59); dedup within level too

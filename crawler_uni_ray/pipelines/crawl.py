@@ -172,7 +172,14 @@ class CrawlConfig:
     # RESUME granularity becomes the window.  Requires frontier_partials +
     # a budget + partitioned fetch; hot-host sets are window-static (stale
     # by ≤ fused_levels-1 levels — salting is perf-only, semantics are
-    # unchanged).  max_pages is checked between windows.
+    # unchanged).  max_pages is checked between windows.  Known latency
+    # cost: in-window levels always run the fully-distributed aligned plan
+    # — a frontier that collapses mid-window below small_level_rows /
+    # fetch_align_threshold cannot drop to the driver fast path or the
+    # unaligned fetch until the next window boundary (the window is ONE
+    # lazy execution; per-level sizes are unknowable inside it).  Window
+    # ENTRY is still size-aware (fused_window_rows), and the measured
+    # whole-crawl A/B (W=3 vs per-level, tails included) favors fusing.
     fused_window_rows: int | None = None  # adaptive window sizing: when
     # set, each window's width is chosen at entry so the ESTIMATED total
     # frontier rows executing in one window stay under this target —
