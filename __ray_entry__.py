@@ -98,6 +98,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_bfs_visited": q.crawl_bfs_visited,
         "media_image_features": q.media_image_features,
         "media_frame_samples": q.media_frame_samples,
+        # archive / seed sources (round 5)
+        "docs_warc_roundtrip": q.docs_warc_roundtrip,
+        "sitemap_seeds": q.sitemap_seeds,
     }
 
 
@@ -417,6 +420,23 @@ def oracle_sql() -> dict[str, str]:
                 WHERE q.vec_id < 8
             ) WHERE rnk <= 10
             ORDER BY query_id, rnk
+        """,
+        # WARC sink→source roundtrip: the oracle recomputes the page rows
+        # straight from documents; a value-hash match proves the archive
+        # bytes carried the text losslessly.
+        "docs_warc_roundtrip": """
+            SELECT 'https://w' || (doc_id % 8) || '.example.com/d' || doc_id AS url,
+                   '2026-01-01T00:00:00Z' AS warc_ts,
+                   text
+            FROM documents ORDER BY url
+        """,
+        # Sitemap tree expansion: every doc contributes exactly one page
+        # url via its (doc_id % 4) leaf urlset; the missing + malformed
+        # leaves contribute nothing.
+        "sitemap_seeds": """
+            SELECT 'https://site.example.com/page/' || doc_id AS url,
+                   'https://site.example.com/sm/' || (doc_id % 4) || '.xml' AS sitemap_url
+            FROM documents ORDER BY url
         """,
         # Remaining queries (fingerprint/minhash/simhash/LSH ANN/
         # embedding-dup/crawl/media) are genuinely non-SQL-expressible

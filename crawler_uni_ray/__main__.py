@@ -44,6 +44,20 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-pages", type=int)
     p.add_argument("--max-levels", type=int, default=1000)
     p.add_argument("--seeds", nargs="*", help="override the default https://domain seed")
+    p.add_argument(
+        "--sitemap", nargs="*", metavar="URL",
+        help="seed from sitemap root(s) resolved against --corpus "
+        "(sitemaps.org protocol; urlset + sitemapindex trees)",
+    )
+    p.add_argument(
+        "--ingest-warc", nargs="*", metavar="PATH",
+        help="WARC archive files to ingest into <ckpt>/warc_corpus as the "
+        "crawl corpus (implies --fetch-mode partitioned when --corpus is unset)",
+    )
+    p.add_argument(
+        "--warc-out", metavar="DIR",
+        help="after the crawl, export fetched pages as .warc.gz archives here",
+    )
     p.add_argument("--resume", action="store_true", help="continue after last committed level")
     p.add_argument("--num-cpus", type=int, help="ray.init num_cpus (default: all)")
     p.add_argument("--quiet", action="store_true", help="suppress per-level progress")
@@ -57,8 +71,11 @@ def main(argv: list[str] | None = None) -> int:
     domain = args.domain
     if domain.startswith(("http://", "https://")):
         domain = urlparse(domain).netloc
-    if args.fetch_mode not in ("http",) and not args.corpus:
-        print("error: --corpus is required unless --fetch-mode http", file=sys.stderr)
+    if args.fetch_mode not in ("http",) and not args.corpus and not args.ingest_warc:
+        print(
+            "error: --corpus is required unless --fetch-mode http or --ingest-warc",
+            file=sys.stderr,
+        )
         return 2
 
     import ray
@@ -68,6 +85,32 @@ def main(argv: list[str] | None = None) -> int:
         ray.init(address="local", include_dashboard=False, logging_level="ERROR", **kw)
     try:
         from .pipelines.crawl import CrawlConfig, CrawlEngine
+
+        if args.ingest_warc:
+            import os
+
+            from .sources.warc import warc_to_corpus_parquet
+
+            # SIBLING of the ckpt dir — run() wipes ckpt itself
+            corpus_dir = args.ckpt.rstrip("/") + ".warc_corpus"
+            warc_to_corpus_parquet(
+                args.ingest_warc, corpus_dir, num_shards=args.num_corpus_shards
+            )
+            if not args.corpus:
+                args.corpus = corpus_dir
+                if args.fetch_mode == "auto":
+                    args.fetch_mode = "partitioned"
+
+        seeds = args.seeds or None
+        if args.sitemap:
+            from .sources.pages import corpus_fetch_fn
+            from .sources.sitemap import expand_sitemaps
+
+            fetch = corpus_fetch_fn(args.corpus, args.num_corpus_shards)
+            seeds = sorted(set(seeds or []) | set(expand_sitemaps(fetch, args.sitemap)))
+            if not seeds:
+                print("error: --sitemap produced no seeds", file=sys.stderr)
+                return 2
 
         cfg = CrawlConfig(
             domain=domain,
@@ -80,7 +123,7 @@ def main(argv: list[str] | None = None) -> int:
             priority_policy=args.priority_policy,
             max_pages=args.max_pages,
             max_levels=args.max_levels,
-            seeds=args.seeds or None,
+            seeds=seeds,
             verbose=not args.quiet,
         )
         eng = CrawlEngine(cfg)
@@ -92,6 +135,9 @@ def main(argv: list[str] | None = None) -> int:
         print(f"Crawling completed in {dt:.2f} seconds")
         print(f"Visited {n_visited} URLs over {len(eng.metrics)} levels")
         print(f"Found {n_links} unique links -> {args.out}")
+        if args.warc_out:
+            n_pages = eng.export_warc(args.warc_out)
+            print(f"Exported {n_pages} pages as WARC -> {args.warc_out}")
         return 0
     finally:
         ray.shutdown()

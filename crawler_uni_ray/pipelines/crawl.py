@@ -55,6 +55,7 @@ from dataclasses import dataclass, field
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray
 import ray.data
@@ -1594,6 +1595,35 @@ class CrawlEngine:
                 for u, d in zip(t["url"].to_pylist(), t["depth"].to_pylist()):
                     out[u] = d
         return out
+
+    def export_warc(self, out_dir: str, compress: bool = True) -> int:
+        """Export every successfully fetched page as WARC archives
+        (sources/warc.py) — the standard interchange for crawl output.
+        The payload is the byte-identical extracted text (M5: text ≡ the
+        page bytes decoded); misses (fetch_status false) are skipped.
+        One streaming map_batches chain: results parquet → project →
+        idempotent content-named archive files.  Returns pages written."""
+        from ..sources.warc import write_warc
+
+        def _to_pages(t: pa.Table) -> pa.Table:
+            # fetch_status is stored as int (0/1); misses carry null text
+            t = t.filter(pc.cast(t["fetch_status"], pa.bool_()))
+            return pa.table(
+                {
+                    "url": t["url"],
+                    "html": pa.array(
+                        [(s or "").encode("utf-8") for s in t["text"].to_pylist()],
+                        pa.binary(),
+                    ),
+                }
+            )
+
+        pages = (
+            self.results_dataset()
+            .select_columns(["url", "text", "fetch_status"])
+            .map_batches(_to_pages, batch_format="pyarrow")
+        )
+        return write_warc(pages, out_dir, compress=compress).count()
 
     def save_links_txt(self, filename: str) -> int:
         """Conformance artifact: one sorted unique link per line, UTF-8 —

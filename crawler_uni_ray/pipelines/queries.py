@@ -963,3 +963,114 @@ def events_users_approx(sf_dir: str) -> pd.DataFrame:
     out = approx_distinct_by(ds, "event_type", "user_id")
     out["n_approx"] = out["n_approx"].round(1)
     return out
+
+
+# ------------------------------------------------------- round-5 additions
+
+
+def docs_warc_roundtrip(sf_dir: str) -> pd.DataFrame:
+    """WARC sink + source end-to-end (sources/warc.py): documents →
+    deterministic page rows → per-record-gzip archives on disk →
+    ``read_warc`` parse → decoded text.  The driver's hash-compare against
+    the SQL oracle (which recomputes the rows from ``documents`` directly)
+    proves the archive layer is byte-transparent for arbitrary text.
+    Scale: write and read are both map_batches stages over streaming
+    blocks; nothing driver-side but the result."""
+    import tempfile
+
+    from ..sources.warc import read_warc, write_warc
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _to_pages(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        return pa.table(
+            {
+                "url": pa.array(
+                    [f"https://w{i % 8}.example.com/d{i}" for i in ids],
+                    pa.string(),
+                ),
+                "warc_ts": pa.array(["2026-01-01T00:00:00Z"] * len(ids), pa.string()),
+                "html": pa.array(
+                    [s.encode("utf-8") for s in t["text"].to_pylist()], pa.binary()
+                ),
+            }
+        )
+
+    with tempfile.TemporaryDirectory(prefix="graft_warc_q_") as td:
+        write_warc(
+            ds.map_batches(_to_pages, batch_format="pyarrow"), td, compress=True
+        ).count()
+        import glob as _glob
+
+        files = sorted(_glob.glob(os.path.join(td, "*.warc.gz")))
+        back = read_warc(files).map_batches(
+            lambda t: pa.table(
+                {
+                    "url": t["url"],
+                    "warc_ts": t["warc_ts"],
+                    "text": pc.cast(t["html"], pa.string()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        out = back.to_pandas()
+    return out.sort_values("url").reset_index(drop=True)
+
+
+def sitemap_seeds(sf_dir: str) -> pd.DataFrame:
+    """Sitemap seed ingestion (sources/sitemap.py): a deterministic
+    sitemapindex tree over the documents table (4 leaf urlsets + one
+    missing leaf + one malformed leaf, both contributing nothing) →
+    driver index walk → DISTRIBUTED leaf parse (``leaf_seeds_dataset``).
+    Sitemaps are metadata-sized by spec (≤50k entries/file), so building
+    the XML from the pruned doc_id column on the driver is the intended
+    shape; page payloads never move."""
+    from ..sources.sitemap import expand_sitemaps, leaf_seeds_dataset, parse_sitemap
+
+    ids = sorted(
+        r["doc_id"]
+        for b in _read(sf_dir, "documents", columns=["doc_id"]).iter_batches(
+            batch_format="pyarrow"
+        )
+        for r in b.to_pylist()
+    )
+    leaves: dict[str, bytes] = {}
+    for s in range(4):
+        urls = "".join(
+            f"<url><loc>https://site.example.com/page/{i}</loc></url>"
+            for i in ids
+            if i % 4 == s
+        )
+        leaves[f"https://site.example.com/sm/{s}.xml"] = (
+            '<?xml version="1.0"?><urlset '
+            'xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+            f"{urls}</urlset>"
+        ).encode()
+    locs = "".join(
+        f"<sitemap><loc>{u}</loc></sitemap>" for u in sorted(leaves)
+    ) + (
+        "<sitemap><loc>https://site.example.com/sm/missing.xml</loc></sitemap>"
+        "<sitemap><loc>https://site.example.com/sm/bad.xml</loc></sitemap>"
+    )
+    tree = dict(leaves)
+    tree["https://site.example.com/sitemap.xml"] = (
+        '<?xml version="1.0"?><sitemapindex '
+        'xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        f"{locs}</sitemapindex>"
+    ).encode()
+    tree["https://site.example.com/sm/bad.xml"] = b"<urlset><url><loc>x"  # malformed
+
+    # driver walk of the INDEX layer only (leaf urls, not page urls) ...
+    index_doc = tree["https://site.example.com/sitemap.xml"]
+    kind, leaf_urls = parse_sitemap(index_doc)
+    assert kind == "sitemapindex"
+    # ... then the leaf fetch+parse fans out over a Dataset
+    seeds = leaf_seeds_dataset(
+        ray.data.from_items([{"url": u} for u in leaf_urls]), tree.get
+    ).to_pandas()
+    # cross-check the driver-walk path agrees with the distributed parse
+    assert sorted(seeds["url"]) == expand_sitemaps(
+        tree.get, ["https://site.example.com/sitemap.xml"]
+    )
+    return seeds.sort_values("url").reset_index(drop=True)

@@ -49,6 +49,25 @@ def parse_sitemap(xml_bytes: bytes) -> tuple[str, list[str]]:
     return (kind, locs)
 
 
+def sitemaps_from_robots(rules: dict[str, str]) -> list[str]:
+    """Sitemap DISCOVERY via robots.txt ``Sitemap:`` directives (the
+    standard discovery channel — robotstxt.org / sitemaps.org).  The
+    directive is case-insensitive, may repeat, and lives outside any
+    ``User-agent`` group, so a plain line scan is the whole parse.
+    ``rules`` is the engine's broadcast robots table (host → body,
+    stages/robots.py); output is sorted unique absolute sitemap URLs,
+    ready for ``expand_sitemaps``."""
+    found: set[str] = set()
+    for body in rules.values():
+        for line in body.splitlines():
+            key, sep, val = line.partition(":")
+            if sep and key.strip().lower() == "sitemap":
+                val = val.strip()
+                if val:
+                    found.add(val)
+    return sorted(found)
+
+
 def expand_sitemaps(
     fetch: Callable[[str], bytes | None],
     roots: list[str],

@@ -68,3 +68,76 @@ def test_cli_requires_corpus(tmp_path):
         timeout=60,
     )
     assert proc.returncode == 2 and "--corpus is required" in proc.stderr
+
+
+def test_cli_warc_ingest_sitemap_seed_and_export(tmp_path):
+    """Archive-native flow: WARC in (--ingest-warc), sitemap-discovered
+    seeds (--sitemap), links.txt ≡ oracle with the same seeds, WARC out
+    (--warc-out) parseable and covering the fetched pages."""
+    from crawler_uni_ray.sources.sitemap import expand_sitemaps
+    from crawler_uni_ray.sources.warc import parse_warc_bytes, warc_bytes_from_batch
+
+    tbl = build_pages_table(TINY)
+    corpus = dict(zip(tbl["url"].to_pylist(), tbl["html"].to_pylist()))
+    # sitemap tree lives IN the corpus (fetched via corpus_fetch_fn)
+    ns = 'xmlns="http://www.sitemaps.org/schemas/sitemap/0.9"'
+    leaf_urls = sorted(corpus)[:3]
+    corpus["https://example.com/sitemap.xml"] = (
+        f'<?xml version="1.0"?><sitemapindex {ns}><sitemap>'
+        "<loc>https://example.com/sm1.xml</loc></sitemap></sitemapindex>"
+    ).encode()
+    corpus["https://example.com/sm1.xml"] = (
+        f'<?xml version="1.0"?><urlset {ns}>'
+        + "".join(f"<url><loc>{u}</loc></url>" for u in leaf_urls)
+        + "</urlset>"
+    ).encode()
+
+    urls = sorted(corpus)
+    warc_path = str(tmp_path / "in.warc.gz")
+    with open(warc_path, "wb") as f:
+        f.write(
+            warc_bytes_from_batch(
+                urls,
+                ["2026-01-01T00:00:00Z"] * len(urls),
+                [corpus[u] for u in urls],
+                compress=True,
+            )
+        )
+
+    out = str(tmp_path / "links.txt")
+    ckpt = str(tmp_path / "ckpt")
+    wout = str(tmp_path / "warc_out")
+    proc = subprocess.run(
+        [
+            sys.executable, "-m", "crawler_uni_ray",
+            "--domain", "example.com",
+            "--ckpt", ckpt,
+            "--out", out,
+            "--ingest-warc", warc_path,
+            "--sitemap", "https://example.com/sitemap.xml",
+            "--warc-out", wout,
+            "--num-corpus-shards", "4",
+            "--num-cpus", "4",
+        ],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        timeout=420,
+        env={**os.environ, "RAY_DEDUP_LOGS": "0"},
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "Exported" in proc.stdout
+
+    seeds = expand_sitemaps(corpus.get, ["https://example.com/sitemap.xml"])
+    assert seeds == leaf_urls
+    oracle = crawl_oracle(corpus, "example.com", seeds=seeds)
+    want = "".join(f"{u}\n" for u in oracle.sorted_links)
+    with open(out, encoding="utf-8") as f:
+        assert f.read() == want
+
+    exported = {}
+    for fn in sorted(os.listdir(wout)):
+        with open(os.path.join(wout, fn), "rb") as f:
+            for u, _ts, html in parse_warc_bytes(f.read()):
+                exported[u] = html.decode("utf-8")
+    assert exported == oracle.text

@@ -13,6 +13,7 @@ from crawler_uni_ray.sources.sitemap import (
     expand_sitemaps,
     leaf_seeds_dataset,
     parse_sitemap,
+    sitemaps_from_robots,
 )
 
 NS = 'xmlns="http://www.sitemaps.org/schemas/sitemap/0.9"'
@@ -71,6 +72,37 @@ def test_expand_walks_index_with_misses_and_depth_cap():
     ]
 
 
+def test_sitemaps_from_robots_directives():
+    rules = {
+        "a.test": (
+            "User-agent: *\nDisallow: /private\n"
+            "Sitemap: https://a.test/sitemap.xml\n"
+            "SITEMAP:   https://a.test/sm2.xml  \n"
+        ),
+        "b.test": "User-agent: *\nAllow: /\n",  # no directive
+        "c.test": "sitemap: https://a.test/sitemap.xml\nSitemap:\n",  # dup + empty
+    }
+    assert sitemaps_from_robots(rules) == [
+        "https://a.test/sitemap.xml",
+        "https://a.test/sm2.xml",
+    ]
+    assert sitemaps_from_robots({}) == []
+
+
+def test_discovery_chain_robots_to_seeds():
+    """robots.txt → Sitemap: directive → index walk → seeds (the standard
+    discovery chain end-to-end, no Ray needed)."""
+    docs = {
+        "https://x.test/sm.xml": _urlset(["https://x.test/a", "https://x.test/b"]),
+    }
+    rules = {"x.test": "User-agent: *\nSitemap: https://x.test/sm.xml\n"}
+    roots = sitemaps_from_robots(rules)
+    assert expand_sitemaps(docs.get, roots) == [
+        "https://x.test/a",
+        "https://x.test/b",
+    ]
+
+
 def test_leaf_seeds_dataset(ray_session):
     docs = {
         f"https://x.test/sm{i}.xml": _urlset(
@@ -115,3 +147,20 @@ def test_crawl_seeded_from_sitemap(ray_session, tmp_path):
     assert eng.visited_depth() == oracle.visited_depth
     links = [r["url"] for r in eng.all_links_sorted().take_all()]
     assert links == oracle.sorted_links
+
+
+def test_corpus_fetch_fn_point_lookup(ray_session, tmp_path):
+    """Driver-side pruned lookup over the partitioned corpus (the CLI's
+    sitemap transport): present url → exact bytes, absent → None."""
+    from crawler_uni_ray.corpus import TINY, build_pages_table, write_corpus_parquet
+    from crawler_uni_ray.sources.pages import corpus_fetch_fn
+
+    cdir = str(tmp_path / "corpus")
+    write_corpus_parquet(TINY, cdir, num_shards=4)
+    tbl = build_pages_table(TINY)
+    urls = tbl["url"].to_pylist()
+    htmls = tbl["html"].to_pylist()
+    fetch = corpus_fetch_fn(cdir, num_shards=4)
+    for u, h in list(zip(urls, htmls))[:5]:
+        assert fetch(u) == h
+    assert fetch("https://example.com/definitely-absent") is None

@@ -106,3 +106,27 @@ def test_crawl_from_warc_ingested_corpus(ray_session, tmp_path):
     assert eng.visited_depth() == oracle.visited_depth
     links = [r["url"] for r in eng.all_links_sorted().take_all()]
     assert links == oracle.sorted_links
+
+
+def test_engine_export_warc(ray_session, tmp_path):
+    """Crawl → export_warc → read_warc: archives hold exactly the fetched
+    pages with byte-identical text payloads (M5 identity through WARC)."""
+    from test_random_graphs import DOMAIN, random_corpus
+
+    corpus = random_corpus(seed=13, n_urls=30)
+    oracle = crawl_oracle(corpus, DOMAIN)
+    assert len(oracle.text) > 0  # seed chosen so pages actually fetch
+    eng = CrawlEngine(
+        CrawlConfig(
+            domain=DOMAIN, ckpt_dir=str(tmp_path / "ckpt"), corpus_dict=corpus
+        )
+    )
+    eng.run()
+    out = str(tmp_path / "archives")
+    n = eng.export_warc(out)
+    assert n == len(oracle.text)  # fetched pages only, misses skipped
+    files = sorted(glob.glob(os.path.join(out, "*.warc.gz")))
+    back = {
+        r["url"]: r["html"].decode("utf-8") for r in read_warc(files).take_all()
+    }
+    assert back == oracle.text
