@@ -137,3 +137,49 @@ def test_random_graph_full_r4_stack(ray_session, tmp_path, seed):
     assert eng.visited_depth() == oracle.visited_depth
     links = [r["url"] for r in eng.all_links_sorted().take_all()]
     assert links == oracle.sorted_links
+
+
+@pytest.mark.parametrize("seed", [29, 31])
+def test_random_graph_multi_seed_full_stack(ray_session, tmp_path, seed):
+    """Multi-seed crawl (sitemap-style seed lists) under the full headline
+    control plane — budget + salting + indegree + frontier partials +
+    fused windows + manifest storage + partitioned/aligned fetch.  Seeds
+    mix hosts and include one dangling url (seed fetch-miss → silent
+    empty, the M6 contract).  Engine ≡ oracle for the same seed list."""
+    from test_fold_retrim import write_dict_corpus
+
+    from crawler_uni_ray.urlnorm import is_in_scope
+
+    corpus = random_corpus(seed, n_urls=60)
+    present = [u for u in sorted(corpus) if is_in_scope(u, DOMAIN)]
+    seeds = [present[0], present[len(present) // 2], present[-1],
+             f"https://{DOMAIN}/dangling-seed.html"]
+    corpus_dir = str(tmp_path / "corpus")
+    write_dict_corpus(corpus, corpus_dir, num_shards=4)
+    oracle = crawl_oracle(
+        corpus, DOMAIN, max_per_host_per_level=2, priority_policy="indegree",
+        seeds=seeds,
+    )
+    eng = CrawlEngine(
+        CrawlConfig(
+            domain=DOMAIN,
+            ckpt_dir=str(tmp_path / f"c{seed}"),
+            corpus_path=corpus_dir,
+            fetch_mode="partitioned",
+            num_corpus_shards=4,
+            fetch_align_threshold=0,
+            budget=2,
+            skew_threshold=1,
+            n_salts=4,
+            priority_policy="indegree",
+            small_level_rows=0,
+            frontier_partials=True,
+            fused_levels=3,
+            storage="manifest",
+            seeds=seeds,
+        )
+    )
+    eng.run()
+    assert eng.visited_depth() == oracle.visited_depth
+    links = [r["url"] for r in eng.all_links_sorted().take_all()]
+    assert links == oracle.sorted_links
