@@ -130,3 +130,61 @@ def test_engine_export_warc(ray_session, tmp_path):
         r["url"]: r["html"].decode("utf-8") for r in read_warc(files).take_all()
     }
     assert back == oracle.text
+
+
+def test_warc_ingest_write_groups_decoupled_from_layout(ray_session, tmp_path):
+    """Memory-bounded ingest: with a small target_group_bytes the write
+    modulus exceeds num_shards (k ≥ 2) — each shard dir holds several
+    url-sorted files, rewrites are idempotent, and the crawl over the
+    multi-file layout still matches the oracle."""
+    from test_random_graphs import DOMAIN, random_corpus
+
+    corpus = random_corpus(seed=5, n_urls=40)
+    urls = sorted(corpus)
+    t = pa.table(
+        {
+            "url": urls,
+            "warc_ts": ["2026-01-01T00:00:00Z"] * len(urls),
+            "html": pa.array([corpus[u] for u in urls], pa.binary()),
+        }
+    )
+    warc_dir = str(tmp_path / "warc")
+    write_warc(ray.data.from_arrow(t), warc_dir, compress=False, batch_size=8).count()
+    paths = sorted(glob.glob(os.path.join(warc_dir, "*.warc")))
+    total = sum(os.path.getsize(p) for p in paths)
+
+    out = str(tmp_path / "corpus")
+    # force k >= 3 write groups per shard
+    warc_to_corpus_parquet(
+        paths, out, num_shards=4, target_group_bytes=max(1, total // 12)
+    )
+    files = sorted(glob.glob(os.path.join(out, "part_hash=*", "*.parquet")))
+    assert len(files) > 4, "write-group modulus did not exceed the layout"
+    # every file's group id lands in its own shard dir
+    for f in files:
+        grp = int(os.path.basename(f).split("-")[1].split(".")[0])
+        shard = int(os.path.dirname(f).split("=")[1])
+        assert grp % 4 == shard
+
+    # rewrite (simulated retry): identical names + bytes
+    before = {f: open(f, "rb").read() for f in files}
+    warc_to_corpus_parquet(
+        paths, out, num_shards=4, target_group_bytes=max(1, total // 12)
+    )
+    assert {f: open(f, "rb").read() for f in files} == before
+    assert sorted(glob.glob(os.path.join(out, "part_hash=*", "*.parquet"))) == files
+
+    oracle = crawl_oracle(corpus, DOMAIN)
+    eng = CrawlEngine(
+        CrawlConfig(
+            domain=DOMAIN,
+            ckpt_dir=str(tmp_path / "ckpt"),
+            corpus_path=out,
+            fetch_mode="partitioned",
+            num_corpus_shards=4,
+            fetch_align_threshold=0,
+            small_level_rows=0,
+        )
+    )
+    eng.run()
+    assert eng.visited_depth() == oracle.visited_depth
