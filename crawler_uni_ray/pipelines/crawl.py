@@ -1053,7 +1053,13 @@ class CrawlEngine:
         target = cfg.fused_window_rows
         if not target or w_max <= 1:
             return w_max
-        ratio = 1.0
+        # growth prior: with no completed-level history (cold start) assume
+        # the clamp MAX, not 1.0 — a BFS frontier grows geometrically from
+        # the seed, and extrapolating flat once fused levels 0-7 of the
+        # bench corpus into one execution on an estimate of 8 rows (real:
+        # 66.7k).  A too-high prior only narrows the first window, which a
+        # tiny head level can afford; history overrides it immediately.
+        ratio = 8.0
         for m in reversed(self.metrics):
             if m.n_frontier > 0 and m.n_frontier_next > 0:
                 ratio = min(8.0, max(0.125, m.n_frontier_next / m.n_frontier))
