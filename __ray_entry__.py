@@ -101,6 +101,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # archive / seed sources (round 5)
         "docs_warc_roundtrip": q.docs_warc_roundtrip,
         "sitemap_seeds": q.sitemap_seeds,
+        # analytic window + multi-way join (round 5)
+        "orders_cumulative_spend": q.orders_cumulative_spend,
+        "revenue_by_nation": q.revenue_by_nation,
     }
 
 
@@ -437,6 +440,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'https://site.example.com/page/' || doc_id AS url,
                    'https://site.example.com/sm/' || (doc_id % 4) || '.xml' AS sitemap_url
             FROM documents ORDER BY url
+        """,
+        # Analytic window function: the engine's per-key sequential
+        # cumulative addition order equals the SQL frame's, so the
+        # running doubles hash-compare exactly (both sides round(2)).
+        "orders_cumulative_spend": """
+            SELECT o_custkey, o_orderkey,
+                   CAST(ROW_NUMBER() OVER w AS BIGINT) AS order_seq,
+                   ROUND(SUM(o_totalprice) OVER w, 2) AS cum_spend
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey
+                         ROWS UNBOUNDED PRECEDING)
+            ORDER BY o_custkey, order_seq
+        """,
+        "revenue_by_nation": """
+            WITH per_order AS (
+                SELECT l_orderkey,
+                       SUM(l_extendedprice * (1 - l_discount)) AS rev
+                FROM lineitem GROUP BY l_orderkey
+            )
+            SELECT n_name, COUNT(*) AS n_orders, ROUND(SUM(rev), 2) AS revenue
+            FROM per_order
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name ORDER BY n_name
         """,
         # Remaining queries (fingerprint/minhash/simhash/LSH ANN/
         # embedding-dup/crawl/media) are genuinely non-SQL-expressible

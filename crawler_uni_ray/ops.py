@@ -138,6 +138,44 @@ def grouped_quantiles_disc(
     return pd.DataFrame(rows)
 
 
+def grouped_running_sum(
+    ds: Dataset,
+    key: str,
+    order_cols: list[str],
+    value_col: str,
+    seq_name: str = "row_seq",
+    cum_name: str | None = None,
+    n_buckets: int = 64,
+    int_key: bool = True,
+) -> Dataset:
+    """Analytic window function (``SUM(value) OVER (PARTITION BY key ORDER
+    BY order_cols ROWS UNBOUNDED PRECEDING)`` + ``ROW_NUMBER``): cumulative
+    per-key running sum and 1-based sequence number.
+
+    Physical plan: ONE hash(key)-bucketed shuffle — buckets hold whole
+    partitions, so each group task sees every row of its keys — then a
+    vectorized per-group stable sort + pandas ``groupby.cumsum/cumcount``.
+    No global sort; parallelism scales with ``n_buckets``; shuffle volume
+    is the projected input rows once.  Per-key sequential addition order
+    equals the SQL window frame's, so the cumulative doubles are
+    bit-identical to an oracle's.  Skewed keys: one key's history must fit
+    one task (same contract as any per-partition window function)."""
+    bucket = add_hash_bucket_int if int_key else add_hash_bucket
+    bucketed = bucket(ds, key, n_buckets)
+    cum = cum_name or f"cum_{value_col}"
+
+    def _window(g: pd.DataFrame) -> pa.Table:
+        g = g.drop(columns=["__bucket"]).sort_values(
+            [key, *order_cols], kind="mergesort"
+        )
+        grp = g.groupby(key, sort=False)
+        g[seq_name] = grp.cumcount().to_numpy(np.int64) + 1
+        g[cum] = grp[value_col].cumsum()
+        return from_pandas_clean(g)
+
+    return bucketed.groupby("__bucket").map_groups(_window, batch_format="pandas")
+
+
 def asof_join(
     left: Dataset,
     right: Dataset,

@@ -1074,3 +1074,143 @@ def sitemap_seeds(sf_dir: str) -> pd.DataFrame:
         tree.get, ["https://site.example.com/sitemap.xml"]
     )
     return seeds.sort_values("url").reset_index(drop=True)
+
+
+def orders_cumulative_spend(sf_dir: str) -> pd.DataFrame:
+    """Analytic window function (running aggregate): per-customer
+    cumulative spend and order sequence number in (o_orderdate,
+    o_orderkey) order — ``SUM() OVER (PARTITION BY … ORDER BY … ROWS
+    UNBOUNDED PRECEDING)`` + ``ROW_NUMBER``.  Physical plan
+    (ops.grouped_running_sum): ONE hash(custkey)-bucketed shuffle, then a
+    vectorized per-bucket sort + grouped cumsum — no global sort, and the
+    per-key sequential addition order matches the SQL frame's, so the
+    cumulative doubles hash-compare exactly."""
+    from ..ops import grouped_running_sum
+
+    ds = _read(
+        sf_dir, "orders",
+        columns=["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"],
+    )
+    out = grouped_running_sum(
+        ds, key="o_custkey", order_cols=["o_orderdate", "o_orderkey"],
+        value_col="o_totalprice", seq_name="order_seq", cum_name="cum_spend",
+    ).to_pandas()
+    out["cum_spend"] = out["cum_spend"].round(2)
+    out["order_seq"] = out["order_seq"].astype("int64")
+    return (
+        out[["o_custkey", "o_orderkey", "order_seq", "cum_spend"]]
+        .sort_values(["o_custkey", "order_seq"])
+        .reset_index(drop=True)
+    )
+
+
+def revenue_by_nation(sf_dir: str) -> pd.DataFrame:
+    """Multi-way join (customer ⋈ orders ⋈ lineitem ⋈ nation revenue
+    rollup) — TWO bucketed co-group shuffles total for the two
+    large ⋈ large joins, combiner partials before each, and the 25-row
+    nation side as a driver-side lookup (broadcast-sized by definition):
+
+      1. lineitem pre-sums revenue per order per batch; union with the
+         slim orders projection; ONE hash(orderkey) shuffle finishes the
+         per-order sum + inner join and emits per-CUSTOMER partials.
+      2. union with the slim customer projection; ONE hash(custkey)
+         shuffle joins and emits per-NATION partials (≤ buckets × 25
+         rows reach the driver)."""
+    from ..ops import add_hash_bucket_int
+
+    n_buckets = 4 * int(ray.cluster_resources().get("CPU", 8))
+
+    # ---- stage 1: per-order revenue ⋈ orders → per-customer partials
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def _rev(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        df = pd.DataFrame(
+            {"o_orderkey": t["l_orderkey"].to_numpy(), "revenue": rev.to_numpy(zero_copy_only=False)}
+        )
+        g = df.groupby("o_orderkey", as_index=False)["revenue"].sum()
+        g["o_custkey"] = -1  # lineitem-side marker (custkeys are positive)
+        return from_pandas_clean(g[["o_orderkey", "o_custkey", "revenue"]])
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+
+    def _ord(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {"o_orderkey": t["o_orderkey"].to_numpy(), "o_custkey": t["o_custkey"].to_numpy()}
+        )
+        df["revenue"] = 0.0
+        return from_pandas_clean(df[["o_orderkey", "o_custkey", "revenue"]])
+
+    both1 = li.map_batches(_rev, batch_format="pyarrow").union(
+        orders.map_batches(_ord, batch_format="pyarrow")
+    )
+
+    def _join1(g: pd.DataFrame) -> pa.Table:
+        g = g.drop(columns="__bucket")
+        lp = g[g["o_custkey"] == -1]
+        od = g[g["o_custkey"] != -1]
+        rev = lp.groupby("o_orderkey")["revenue"].sum()
+        j = od.set_index("o_orderkey").join(rev, how="inner", rsuffix="_r")
+        out = j.groupby("o_custkey", as_index=False).agg(
+            revenue=("revenue_r", "sum"), n_orders=("revenue_r", "size")
+        )
+        out = out.rename(columns={"o_custkey": "c_custkey"})
+        out["c_nationkey"] = -1  # partials-side marker
+        return from_pandas_clean(out[["c_custkey", "c_nationkey", "revenue", "n_orders"]])
+
+    cust_partials = (
+        add_hash_bucket_int(both1, "o_orderkey", n_buckets)
+        .groupby("__bucket")
+        .map_groups(_join1, batch_format="pandas")
+    )
+
+    # ---- stage 2: per-customer partials ⋈ customer → per-nation partials
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+
+    def _cust(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "c_custkey": t["c_custkey"].to_numpy(),
+                # int64 to match the partials side (parquet stores int32)
+                "c_nationkey": t["c_nationkey"].to_numpy().astype(np.int64),
+            }
+        )
+        df["revenue"] = 0.0
+        df["n_orders"] = 0
+        return from_pandas_clean(df[["c_custkey", "c_nationkey", "revenue", "n_orders"]])
+
+    both2 = cust_partials.union(cust.map_batches(_cust, batch_format="pyarrow"))
+
+    def _join2(g: pd.DataFrame) -> pa.Table:
+        g = g.drop(columns="__bucket")
+        lp = g[g["c_nationkey"] == -1]
+        cd = g[g["c_nationkey"] != -1]
+        agg = lp.groupby("c_custkey").agg(
+            revenue=("revenue", "sum"), n_orders=("n_orders", "sum")
+        )
+        j = cd.set_index("c_custkey").join(agg, how="inner", rsuffix="_r")
+        out = j.groupby("c_nationkey", as_index=False).agg(
+            revenue=("revenue_r", "sum"), n_orders=("n_orders_r", "sum")
+        )
+        return from_pandas_clean(out[["c_nationkey", "revenue", "n_orders"]])
+
+    parts = (
+        add_hash_bucket_int(both2, "c_custkey", n_buckets)
+        .groupby("__bucket")
+        .map_groups(_join2, batch_format="pandas")
+        .to_pandas()
+    )
+    # nation is 25 rows — the inherently broadcast-sized side
+    nation = pd.read_parquet(_t(sf_dir, "nation"), columns=["n_nationkey", "n_name"])
+    name_of = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    parts["n_name"] = parts["c_nationkey"].map(name_of)
+    out = parts.groupby("n_name", as_index=False).agg(
+        n_orders=("n_orders", "sum"), revenue=("revenue", "sum")
+    )
+    out["revenue"] = out["revenue"].round(2)
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return (
+        out[["n_name", "n_orders", "revenue"]]
+        .sort_values("n_name")
+        .reset_index(drop=True)
+    )

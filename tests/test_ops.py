@@ -158,3 +158,48 @@ def test_grouped_quantiles_disc_matches_duckdb_on_dupes(ray_session):
            FROM t GROUP BY g ORDER BY g"""
     ).df()
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_grouped_running_sum_matches_duckdb_window(ray_session):
+    """Analytic running aggregate ≡ SQL SUM() OVER (PARTITION BY … ORDER
+    BY … ROWS UNBOUNDED PRECEDING) + ROW_NUMBER, including duplicate
+    order values (stable tie-break via the second order column) and keys
+    split across input blocks (the bucket shuffle must reunite them)."""
+    import duckdb
+    import numpy as np
+    import ray.data as rd
+
+    from crawler_uni_ray.ops import grouped_running_sum
+
+    rng = np.random.default_rng(3)
+    n = 2000
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 37, n).astype("int64"),
+            "ord1": rng.integers(0, 5, n).astype("int64"),  # heavy ties
+            "ord2": np.arange(n, dtype="int64"),  # unique tie-break
+            "v": rng.normal(100, 10, n),
+        }
+    )
+    got = (
+        grouped_running_sum(
+            rd.from_pandas(df, override_num_blocks=8),
+            key="k", order_cols=["ord1", "ord2"], value_col="v",
+            seq_name="seq", cum_name="cum_v", n_buckets=16,
+        )
+        .to_pandas()[["k", "ord2", "seq", "cum_v"]]
+        .sort_values(["k", "seq"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.execute(
+        """SELECT k, ord2, CAST(ROW_NUMBER() OVER w AS BIGINT) AS seq,
+                  SUM(v) OVER w AS cum_v
+           FROM t
+           WINDOW w AS (PARTITION BY k ORDER BY ord1, ord2
+                        ROWS UNBOUNDED PRECEDING)
+           ORDER BY k, seq"""
+    ).df()
+    # bit-identical: same sequential addition order per key
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
