@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sitemap_seeds": q.sitemap_seeds,
         # analytic window + multi-way join (round 5)
         "orders_cumulative_spend": q.orders_cumulative_spend,
+        "events_time_deltas": q.events_time_deltas,
         "revenue_by_nation": q.revenue_by_nation,
     }
 
@@ -453,6 +454,20 @@ def oracle_sql() -> dict[str, str]:
                          ORDER BY o_orderdate, o_orderkey
                          ROWS UNBOUNDED PRECEDING)
             ORDER BY o_custkey, order_seq
+        """,
+        # LAG analytic: delta in whole int64 microseconds — no float in
+        # the hashed values at all.
+        "events_time_deltas": """
+            SELECT event_id, user_id,
+                   CAST(DATE_DIFF('microseconds', prev_ts, ts) AS BIGINT) AS delta_us
+            FROM (
+                SELECT event_id, user_id, ts,
+                       LAG(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_ts
+                FROM events
+            )
+            WHERE prev_ts IS NOT NULL
+            ORDER BY event_id
         """,
         "revenue_by_nation": """
             WITH per_order AS (

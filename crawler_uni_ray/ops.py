@@ -176,6 +176,35 @@ def grouped_running_sum(
     return bucketed.groupby("__bucket").map_groups(_window, batch_format="pandas")
 
 
+def grouped_lag(
+    ds: Dataset,
+    key: str,
+    order_cols: list[str],
+    value_col: str,
+    lag_name: str | None = None,
+    n_buckets: int = 64,
+    int_key: bool = True,
+) -> Dataset:
+    """Analytic ``LAG(value) OVER (PARTITION BY key ORDER BY order_cols)``:
+    each row gains the previous row's ``value_col`` within its key (null on
+    the first row per key).  Same physical plan as
+    ``grouped_running_sum``: ONE hash(key)-bucketed shuffle (whole
+    partitions per bucket) + vectorized per-bucket sort and grouped
+    ``shift`` — no global sort."""
+    bucket = add_hash_bucket_int if int_key else add_hash_bucket
+    bucketed = bucket(ds, key, n_buckets)
+    lag = lag_name or f"prev_{value_col}"
+
+    def _lag(g: pd.DataFrame) -> pa.Table:
+        g = g.drop(columns=["__bucket"]).sort_values(
+            [key, *order_cols], kind="mergesort"
+        )
+        g[lag] = g.groupby(key, sort=False)[value_col].shift(1)
+        return from_pandas_clean(g)
+
+    return bucketed.groupby("__bucket").map_groups(_lag, batch_format="pandas")
+
+
 def asof_join(
     left: Dataset,
     right: Dataset,

@@ -1104,6 +1104,31 @@ def orders_cumulative_spend(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def events_time_deltas(sf_dir: str) -> pd.DataFrame:
+    """Analytic LAG (previous-row lookback): per-user microsecond gap
+    between consecutive events in (ts, event_id) order — ``LAG(ts) OVER
+    (PARTITION BY user_id ORDER BY ts, event_id)``.  Same one-shuffle
+    bucketed plan as ``orders_cumulative_spend`` (ops.grouped_lag); the
+    delta is computed in whole int64 microseconds so the driver hash has
+    zero float risk."""
+    from ..ops import grouped_lag
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    out = grouped_lag(
+        ds, key="user_id", order_cols=["ts", "event_id"],
+        value_col="ts", lag_name="prev_ts",
+    ).to_pandas()
+    out = out[out["prev_ts"].notna()].copy()
+    out["delta_us"] = (
+        (out["ts"] - out["prev_ts"]) // pd.Timedelta(microseconds=1)
+    ).astype("int64")
+    return (
+        out[["event_id", "user_id", "delta_us"]]
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+
+
 def revenue_by_nation(sf_dir: str) -> pd.DataFrame:
     """Multi-way join (customer ⋈ orders ⋈ lineitem ⋈ nation revenue
     rollup) — TWO bucketed co-group shuffles total for the two
