@@ -102,6 +102,9 @@ class CrawlConfig:
     http_timeout: float = 10.0  # http mode: per-request timeout (crawler.py:30)
     http_concurrency: int | tuple = (1, 4)  # http mode: fetch actor pool size
     http_rate_per_host: float | None = None  # http mode: wall-clock req/s per host
+    http_obey_crawl_delay: bool = True  # http mode: robots.txt Crawl-delay
+    # directives (cfg.robots) become per-host rate overrides (1/delay
+    # req/s) on the fetcher's token bucket, aggregate across the pool
     # partitioned fetch: levels above this re-bucket the frontier by the
     # corpus url-hash (ONE pruned read per partition — the scale plan);
     # smaller levels skip that all-to-all and look up per batch (a few
@@ -610,11 +613,19 @@ class CrawlEngine:
         if self._fetch_mode == "broadcast":
             return fetch_broadcast(scheduled, self._corpus_ref)
         if self._fetch_mode == "http":
+            host_rates = None
+            if self.cfg.http_obey_crawl_delay and self.cfg.robots:
+                from ..stages.robots import crawl_delays
+
+                host_rates = {
+                    h: 1.0 / d for h, d in crawl_delays(self.cfg.robots).items()
+                } or None
             return fetch_http(
                 scheduled,
                 timeout=self.cfg.http_timeout,
                 concurrency=self.cfg.http_concurrency,
                 rate_per_host=self.cfg.http_rate_per_host,
+                host_rates=host_rates,
             )
         if self._fetch_mode == "join":
             if self._pages_ds is None:

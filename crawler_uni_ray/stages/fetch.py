@@ -100,6 +100,7 @@ class HttpFetcher:
         threads: int = 10,
         rate_per_host: float | None = None,
         burst: float = 1.0,
+        host_rates: dict[str, float] | None = None,
     ):
         import threading
         from concurrent.futures import ThreadPoolExecutor
@@ -122,32 +123,39 @@ class HttpFetcher:
         # host sees across the whole pool never exceeds the configured
         # cap — conservative when the autoscaling pool runs below max.
         self.rate = rate_per_host
+        # per-host rate OVERRIDES (req/s), e.g. derived from robots.txt
+        # Crawl-delay — an override throttles its host even when no
+        # global rate_per_host is configured
+        self.host_rates = host_rates or {}
         self.burst = max(1.0, float(burst))
         self._buckets: dict[str, tuple[float, float]] = {}
         self._lock = threading.Lock()
 
-    def _acquire(self, host: str) -> None:
-        """Block until the host's bucket yields one token."""
+    def _acquire(self, host: str, rate: float) -> None:
+        """Block until the host's bucket yields one token at ``rate``."""
         import time
 
         while True:
             with self._lock:
                 now = time.monotonic()
                 tokens, last = self._buckets.get(host, (self.burst, now))
-                tokens = min(self.burst, tokens + (now - last) * self.rate)
+                tokens = min(self.burst, tokens + (now - last) * rate)
                 if tokens >= 1.0:
                     self._buckets[host] = (tokens - 1.0, now)
                     return
                 self._buckets[host] = (tokens, now)
-                wait = (1.0 - tokens) / self.rate
+                wait = (1.0 - tokens) / rate
             time.sleep(wait)
 
     def _get(self, url: str) -> bytes | None:
         try:
-            if self.rate:
+            if self.rate or self.host_rates:
                 from urllib.parse import urlparse
 
-                self._acquire(urlparse(url).netloc)
+                host = urlparse(url).netloc
+                rate = self.host_rates.get(host, self.rate)
+                if rate:
+                    self._acquire(host, rate)
             resp = self.session.get(url, timeout=self.timeout)
             resp.raise_for_status()  # non-2xx → exception → miss
             return resp.content
@@ -170,6 +178,7 @@ def fetch_http(
     batch_size: int = 64,
     rate_per_host: float | None = None,
     rate_scope: str = "global",
+    host_rates: dict[str, float] | None = None,
 ) -> Dataset:
     """Actor-pool live fetch.  Sizing: each actor overlaps ~10 in-flight
     requests; scale the pool (``concurrency``) to the politeness budget —
@@ -184,15 +193,25 @@ def fetch_http(
     (conservative — an autoscaled pool running below max under-uses the
     budget).  ``rate_scope="actor"`` keeps the raw per-actor bucket (the
     pre-r5 behavior: aggregate up to pool_size × rate)."""
-    actor_rate = rate_per_host
-    if rate_per_host is not None and rate_scope == "global":
-        max_pool = concurrency if isinstance(concurrency, int) else concurrency[1]
-        actor_rate = rate_per_host / max(1, int(max_pool))
-    elif rate_scope not in ("global", "actor"):
+    if rate_scope not in ("global", "actor"):
         raise ValueError(f"rate_scope must be 'global' or 'actor': {rate_scope!r}")
+    actor_rate, actor_host_rates = rate_per_host, host_rates
+    if rate_scope == "global":
+        max_pool = concurrency if isinstance(concurrency, int) else concurrency[1]
+        div = max(1, int(max_pool))
+        if rate_per_host is not None:
+            actor_rate = rate_per_host / div
+        if host_rates:
+            # per-host overrides (e.g. robots Crawl-delay) are aggregate
+            # caps too — divide by the pool size like the global rate
+            actor_host_rates = {h: r / div for h, r in host_rates.items()}
     return ds.map_batches(
         HttpFetcher,
-        fn_constructor_kwargs={"timeout": timeout, "rate_per_host": actor_rate},
+        fn_constructor_kwargs={
+            "timeout": timeout,
+            "rate_per_host": actor_rate,
+            "host_rates": actor_host_rates,
+        },
         concurrency=concurrency,
         batch_size=batch_size,
         batch_format="pyarrow",

@@ -60,6 +60,44 @@ def robots_from_pages(pages) -> dict[str, str]:
     return out
 
 
+def crawl_delays(rules: dict[str, str], agent: str = "*") -> dict[str, float]:
+    """Per-host ``Crawl-delay:`` directives (seconds) from the robots
+    bodies — only hosts that declare one appear.  Feeds the live-HTTP
+    politeness bucket as a per-host RATE override (1/delay req/s):
+    the wall-clock complement to the deterministic per-level budget."""
+    out: dict[str, float] = {}
+    for host, body in rules.items():
+        # manual group-aware scan: stdlib robotparser drops fractional
+        # delays ("Crawl-delay: 0.5" — its parser requires isdigit())
+        cur_agents: list[str] = []
+        in_group = False
+        delay: float | None = None
+        for raw in body.splitlines():
+            line = raw.split("#", 1)[0].strip()
+            if not line or ":" not in line:
+                continue
+            key, _, val = line.partition(":")
+            key, val = key.strip().lower(), val.strip()
+            if key == "user-agent":
+                if in_group:  # a new agent line after rules starts a new group
+                    cur_agents, in_group = [], False
+                cur_agents.append(val.lower())
+            else:
+                in_group = True
+                if key == "crawl-delay" and (
+                    agent.lower() in cur_agents or "*" in cur_agents
+                ):
+                    try:
+                        d = float(val)
+                    except ValueError:
+                        continue
+                    if d > 0:
+                        delay = d
+        if delay is not None:
+            out[host] = delay
+    return out
+
+
 def _build_parsers(rules: dict[str, str]) -> dict[str, robotparser.RobotFileParser]:
     parsers = {}
     for host, body in rules.items():

@@ -203,3 +203,48 @@ def test_http_crawl_matches_replay(ray_session, http_site, tmp_path):
     assert miss[f"http://{domain}/missing.html"] == 0
     assert miss[f"http://{domain}/slow.html"] == 0
     assert miss[f"http://{domain}/index.html"] == 1
+
+
+def test_crawl_delay_parsing():
+    """robots.txt Crawl-delay extraction: per-agent directives, absent or
+    zero delays omitted, malformed bodies tolerated."""
+    from crawler_uni_ray.stages.robots import crawl_delays
+
+    rules = {
+        "a.example.com": "User-agent: *\nCrawl-delay: 2\nDisallow: /private",
+        "b.example.com": "User-agent: *\nDisallow:",  # no delay
+        "c.example.com": "User-agent: *\nCrawl-delay: 0.5",
+        "d.example.com": "Crawl-delay: oops\nUser-agent: *",  # malformed
+    }
+    d = crawl_delays(rules)
+    assert d == {"a.example.com": 2.0, "c.example.com": 0.5}
+
+
+def test_http_crawl_delay_overrides_throttle_only_their_host(ray_session):
+    """robots Crawl-delay as a per-host rate override: with NO global
+    rate_per_host, the delay-declaring host's requests are spaced while
+    the other host's fire unthrottled."""
+    rec_a: list = []
+    rec_b: list = []
+    srv_a, srv_b = _recording_server(rec_a), _recording_server(rec_b)
+    try:
+        host_a = f"127.0.0.1:{srv_a.server_address[1]}"
+        host_b = f"127.0.0.1:{srv_b.server_address[1]}"
+        urls = [f"http://{host_a}/p{i}.html" for i in range(5)] + [
+            f"http://{host_b}/p{i}.html" for i in range(5)
+        ]
+        ds = ray.data.from_arrow(frontier_table(urls))
+        out = fetch_http(
+            ds, timeout=5.0, concurrency=1,
+            host_rates={host_a: 10.0},  # = Crawl-delay: 0.1 on host_a only
+        )
+        assert out.to_pandas()["fetched"].all()
+        assert len(rec_a) == 5 and len(rec_b) == 5
+        ts_a, ts_b = sorted(rec_a), sorted(rec_b)
+        gaps_a = sorted(b - a for a, b in zip(ts_a, ts_a[1:]))
+        assert ts_a[-1] - ts_a[0] >= 0.25, gaps_a  # throttled: ~4 periods
+        assert gaps_a[len(gaps_a) // 2] >= 0.06, gaps_a
+        assert ts_b[-1] - ts_b[0] < 0.25, ts_b  # unthrottled host is fast
+    finally:
+        srv_a.shutdown()
+        srv_b.shutdown()
