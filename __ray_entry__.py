@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_cumulative_spend": q.orders_cumulative_spend,
         "events_time_deltas": q.events_time_deltas,
         "revenue_by_nation": q.revenue_by_nation,
+        "revenue_rollup": q.revenue_rollup,
     }
 
 
@@ -481,6 +482,34 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
             GROUP BY n_name ORDER BY n_name
+        """,
+        # GROUPING SETS: rollup levels use the 'ALL' sentinel (no NULLs
+        # in the hashed values; nation/priority domains never collide).
+        # Revenue is quantized per lineitem to exact int64 ten-thousandths
+        # (FLOOR(x*1e4+0.5), identical for identical input doubles) so
+        # every level is an order-free integer sum — a plain float SUM +
+        # ROUND(2) straddled a cent boundary at sf0.01 under different
+        # summation orders.
+        "revenue_rollup": """
+            WITH per_order AS (
+                SELECT l_orderkey,
+                       SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount)
+                                      * 10000 + 0.5) AS BIGINT)) AS rev4
+                FROM lineitem GROUP BY l_orderkey
+            ), base AS (
+                SELECT n_name, o_orderpriority, rev4
+                FROM per_order
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation ON c_nationkey = n_nationkey
+            )
+            SELECT COALESCE(n_name, 'ALL') AS n_name,
+                   COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+                   COUNT(*) AS n_orders,
+                   SUM(rev4) / 10000.0 AS revenue
+            FROM base
+            GROUP BY ROLLUP(n_name, o_orderpriority)
+            ORDER BY n_name, o_orderpriority
         """,
         # Remaining queries (fingerprint/minhash/simhash/LSH ANN/
         # embedding-dup/crawl/media) are genuinely non-SQL-expressible

@@ -1104,6 +1104,144 @@ def orders_cumulative_spend(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def revenue_rollup(sf_dir: str) -> pd.DataFrame:
+    """GROUPING SETS / ROLLUP over the 4-table join: revenue by
+    (nation, order priority) plus per-nation subtotals plus a grand
+    total (sentinel 'ALL').  Distributed plan = the same two bucketed
+    co-group shuffles as ``revenue_by_nation`` with the priority column
+    carried through; the rollup LEVELS are derived from the driver-sized
+    base aggregate (25 nations × 5 priorities) — the scale-correct way
+    to compute grouping sets: aggregate once at the finest grain, roll
+    up from there.
+
+    Float determinism: per-lineitem revenue is quantized ONCE to exact
+    int64 ten-thousandths (``floor(x*1e4 + 0.5)`` — identical on both
+    engines for identical input doubles), so every aggregation level is
+    an order-free INTEGER sum; one final division yields the double.
+    A plain float sum hit a cent-rounding boundary at sf0.01
+    (…158.28499 vs …158.28500 under different summation orders)."""
+    from ..ops import add_hash_bucket_int
+
+    n_buckets = 4 * int(ray.cluster_resources().get("CPU", 8))
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def _rev(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        rev4 = np.floor(
+            rev.to_numpy(zero_copy_only=False) * 1e4 + 0.5
+        ).astype(np.int64)
+        df = pd.DataFrame({"o_orderkey": t["l_orderkey"].to_numpy(), "rev4": rev4})
+        g = df.groupby("o_orderkey", as_index=False)["rev4"].sum()
+        g["o_custkey"] = -1  # lineitem-side marker
+        g["o_orderpriority"] = ""
+        return from_pandas_clean(g[["o_orderkey", "o_custkey", "o_orderpriority", "rev4"]])
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderpriority"])
+
+    def _ord(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "o_orderkey": t["o_orderkey"].to_numpy(),
+                "o_custkey": t["o_custkey"].to_numpy(),
+                "o_orderpriority": t["o_orderpriority"].to_pylist(),
+            }
+        )
+        df["rev4"] = np.int64(0)
+        return from_pandas_clean(df[["o_orderkey", "o_custkey", "o_orderpriority", "rev4"]])
+
+    both1 = li.map_batches(_rev, batch_format="pyarrow").union(
+        orders.map_batches(_ord, batch_format="pyarrow")
+    )
+
+    def _join1(g: pd.DataFrame) -> pa.Table:
+        g = g.drop(columns="__bucket")
+        lp = g[g["o_custkey"] == -1]
+        od = g[g["o_custkey"] != -1]
+        rev = lp.groupby("o_orderkey")["rev4"].sum()
+        j = od.set_index("o_orderkey").join(rev, how="inner", rsuffix="_r")
+        out = j.groupby(["o_custkey", "o_orderpriority"], as_index=False).agg(
+            rev4=("rev4_r", "sum"), n_orders=("rev4_r", "size")
+        )
+        out = out.rename(columns={"o_custkey": "c_custkey"})
+        out["c_nationkey"] = -1  # partials-side marker
+        return from_pandas_clean(
+            out[["c_custkey", "c_nationkey", "o_orderpriority", "rev4", "n_orders"]]
+        )
+
+    cust_partials = (
+        add_hash_bucket_int(both1, "o_orderkey", n_buckets)
+        .groupby("__bucket")
+        .map_groups(_join1, batch_format="pandas")
+    )
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+
+    def _cust(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "c_custkey": t["c_custkey"].to_numpy(),
+                "c_nationkey": t["c_nationkey"].to_numpy().astype(np.int64),
+            }
+        )
+        df["o_orderpriority"] = ""
+        df["rev4"] = np.int64(0)
+        df["n_orders"] = 0
+        return from_pandas_clean(
+            df[["c_custkey", "c_nationkey", "o_orderpriority", "rev4", "n_orders"]]
+        )
+
+    both2 = cust_partials.union(cust.map_batches(_cust, batch_format="pyarrow"))
+
+    def _join2(g: pd.DataFrame) -> pa.Table:
+        g = g.drop(columns="__bucket")
+        lp = g[g["c_nationkey"] == -1]
+        cd = g[g["c_nationkey"] != -1]
+        agg = lp.groupby(["c_custkey", "o_orderpriority"], as_index=False).agg(
+            rev4=("rev4", "sum"), n_orders=("n_orders", "sum")
+        )
+        j = agg.merge(cd[["c_custkey", "c_nationkey"]], on="c_custkey", how="inner")
+        out = j.groupby(["c_nationkey", "o_orderpriority"], as_index=False).agg(
+            rev4=("rev4", "sum"), n_orders=("n_orders", "sum")
+        )
+        return from_pandas_clean(out[["c_nationkey", "o_orderpriority", "rev4", "n_orders"]])
+
+    parts = (
+        add_hash_bucket_int(both2, "c_custkey", n_buckets)
+        .groupby("__bucket")
+        .map_groups(_join2, batch_format="pandas")
+        .to_pandas()
+    )
+    nation = pd.read_parquet(_t(sf_dir, "nation"), columns=["n_nationkey", "n_name"])
+    name_of = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    parts["n_name"] = parts["c_nationkey"].map(name_of)
+    base = parts.groupby(["n_name", "o_orderpriority"], as_index=False).agg(
+        n_orders=("n_orders", "sum"), rev4=("rev4", "sum")
+    )
+    # rollup levels from the driver-sized base (25 × 5 rows)
+    lvl1 = base.groupby("n_name", as_index=False).agg(
+        n_orders=("n_orders", "sum"), rev4=("rev4", "sum")
+    )
+    lvl1["o_orderpriority"] = "ALL"
+    lvl0 = pd.DataFrame(
+        {
+            "n_name": ["ALL"],
+            "o_orderpriority": ["ALL"],
+            "n_orders": [base["n_orders"].sum()],
+            "rev4": [base["rev4"].sum()],
+        }
+    )
+    out = pd.concat([base, lvl1, lvl0], ignore_index=True)
+    # exact int64 sum -> ONE division; no rounding anywhere
+    out["revenue"] = out["rev4"].astype("int64") / 10000.0
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return (
+        out[["n_name", "o_orderpriority", "n_orders", "revenue"]]
+        .sort_values(["n_name", "o_orderpriority"])
+        .reset_index(drop=True)
+    )
+
+
 def events_time_deltas(sf_dir: str) -> pd.DataFrame:
     """Analytic LAG (previous-row lookback): per-user microsecond gap
     between consecutive events in (ts, event_id) order — ``LAG(ts) OVER
