@@ -106,6 +106,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_time_deltas": q.events_time_deltas,
         "revenue_by_nation": q.revenue_by_nation,
         "revenue_rollup": q.revenue_rollup,
+        # rank / moving-frame analytics, semi-join, pivot, cube,
+        # histogram, set intersection (round 5)
+        "orders_price_ranks": q.orders_price_ranks,
+        "orders_moving_spend": q.orders_moving_spend,
+        "customers_with_urgent_orders": q.customers_with_urgent_orders,
+        "events_pivot_daily": q.events_pivot_daily,
+        "revenue_cube": q.revenue_cube,
+        "docs_length_histogram": q.docs_length_histogram,
+        "events_user_overlap": q.events_user_overlap,
     }
 
 
@@ -510,6 +519,79 @@ def oracle_sql() -> dict[str, str]:
             FROM base
             GROUP BY ROLLUP(n_name, o_orderpriority)
             ORDER BY n_name, o_orderpriority
+        """,
+        # CUBE = the ROLLUP levels + the per-priority slice; same
+        # integer-exact quantization as revenue_rollup.
+        "revenue_cube": """
+            WITH per_order AS (
+                SELECT l_orderkey,
+                       SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount)
+                                      * 10000 + 0.5) AS BIGINT)) AS rev4
+                FROM lineitem GROUP BY l_orderkey
+            ), base AS (
+                SELECT n_name, o_orderpriority, rev4
+                FROM per_order
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation ON c_nationkey = n_nationkey
+            )
+            SELECT COALESCE(n_name, 'ALL') AS n_name,
+                   COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+                   COUNT(*) AS n_orders,
+                   SUM(rev4) / 10000.0 AS revenue
+            FROM base
+            GROUP BY CUBE(n_name, o_orderpriority)
+            ORDER BY n_name, o_orderpriority
+        """,
+        # RANK/DENSE_RANK: ties on the double o_totalprice are identical
+        # on both engines (same input bits); only int64 ranks are hashed.
+        "orders_price_ranks": """
+            SELECT o_custkey, o_orderkey,
+                   CAST(RANK() OVER w AS BIGINT) AS price_rank,
+                   CAST(DENSE_RANK() OVER w AS BIGINT) AS price_dense_rank
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC)
+            ORDER BY o_orderkey
+        """,
+        # Moving frame: prices quantized to exact int64 cents BEFORE the
+        # window sum, so the frame math is order-free integers.
+        "orders_moving_spend": """
+            SELECT o_custkey, o_orderkey,
+                   SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+                   ) AS spend3_cents
+            FROM orders ORDER BY o_orderkey
+        """,
+        "customers_with_urgent_orders": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey IN (
+                SELECT o_custkey FROM orders
+                WHERE o_orderpriority = '1-URGENT'
+            )
+            ORDER BY c_custkey
+        """,
+        "events_pivot_daily": """
+            SELECT CAST(year(ts)*10000 + month(ts)*100 + day(ts) AS BIGINT) AS ymd,
+                   COUNT(*) FILTER (WHERE event_type = 'click')    AS n_click,
+                   COUNT(*) FILTER (WHERE event_type = 'error')    AS n_error,
+                   COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+                   COUNT(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+                   COUNT(*) FILTER (WHERE event_type = 'view')     AS n_view,
+                   COUNT(*) AS n_total
+            FROM events GROUP BY 1 ORDER BY 1
+        """,
+        "docs_length_histogram": """
+            SELECT CAST(LENGTH(text) // 200 AS BIGINT) * 200 AS bucket_lo,
+                   COUNT(*) AS n_docs
+            FROM documents GROUP BY 1 ORDER BY 1
+        """,
+        "events_user_overlap": """
+            SELECT user_id FROM events WHERE event_type = 'click'
+            INTERSECT
+            SELECT user_id FROM events WHERE event_type = 'purchase'
+            ORDER BY user_id
         """,
         # Remaining queries (fingerprint/minhash/simhash/LSH ANN/
         # embedding-dup/crawl/media) are genuinely non-SQL-expressible

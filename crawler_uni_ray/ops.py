@@ -15,6 +15,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from .urlnorm import url_hash_batch
 from .util import from_pandas_clean, silence_empty_block_schema_warning
@@ -184,25 +185,120 @@ def grouped_lag(
     lag_name: str | None = None,
     n_buckets: int = 64,
     int_key: bool = True,
+    periods: int = 1,
 ) -> Dataset:
     """Analytic ``LAG(value) OVER (PARTITION BY key ORDER BY order_cols)``:
     each row gains the previous row's ``value_col`` within its key (null on
-    the first row per key).  Same physical plan as
+    the first row per key).  ``periods=-1`` is ``LEAD`` (next row's value,
+    null on the last row per key).  Same physical plan as
     ``grouped_running_sum``: ONE hash(key)-bucketed shuffle (whole
     partitions per bucket) + vectorized per-bucket sort and grouped
     ``shift`` — no global sort."""
     bucket = add_hash_bucket_int if int_key else add_hash_bucket
     bucketed = bucket(ds, key, n_buckets)
-    lag = lag_name or f"prev_{value_col}"
+    lag = lag_name or (f"prev_{value_col}" if periods > 0 else f"next_{value_col}")
 
     def _lag(g: pd.DataFrame) -> pa.Table:
         g = g.drop(columns=["__bucket"]).sort_values(
             [key, *order_cols], kind="mergesort"
         )
-        g[lag] = g.groupby(key, sort=False)[value_col].shift(1)
+        g[lag] = g.groupby(key, sort=False)[value_col].shift(periods)
         return from_pandas_clean(g)
 
     return bucketed.groupby("__bucket").map_groups(_lag, batch_format="pandas")
+
+
+def grouped_rank(
+    ds: Dataset,
+    key: str,
+    order_cols: list[str],
+    descending: list[bool] | None = None,
+    rank_name: str = "rank",
+    dense_name: str = "dense_rank",
+    n_buckets: int = 64,
+    int_key: bool = True,
+) -> Dataset:
+    """Analytic ``RANK()`` + ``DENSE_RANK() OVER (PARTITION BY key ORDER BY
+    order_cols)``: ties (equal ``order_cols`` within a key) share a rank;
+    RANK leaves gaps after a tie-run, DENSE_RANK does not — exactly the SQL
+    window functions.  Same one-shuffle plan as ``grouped_running_sum``
+    (hash(key) buckets hold whole partitions); per bucket ONE stable sort,
+    then pure run-boundary arithmetic over numpy arrays — no per-group
+    Python, no ``pandas.rank`` (which can't rank a multi-column tuple).
+    Assumes non-null order columns (NaN != NaN would split a SQL tie)."""
+    bucket = add_hash_bucket_int if int_key else add_hash_bucket
+    bucketed = bucket(ds, key, n_buckets)
+    asc = [True] + [not d for d in (descending or [False] * len(order_cols))]
+
+    def _rank(g: pd.DataFrame) -> pa.Table:
+        g = (
+            g.drop(columns=["__bucket"])
+            .sort_values([key, *order_cols], ascending=asc, kind="mergesort")
+            .reset_index(drop=True)
+        )
+        n = len(g)
+        if n == 0:
+            g[rank_name] = pd.Series([], dtype="int64")
+            g[dense_name] = pd.Series([], dtype="int64")
+            return from_pandas_clean(g)
+        kv = g[key].to_numpy()
+        kchange = np.ones(n, dtype=bool)
+        kchange[1:] = kv[1:] != kv[:-1]
+        first = kchange.copy()  # new (key, order-tuple) run starts here
+        for c in order_cols:
+            v = g[c].to_numpy()
+            first[1:] |= v[1:] != v[:-1]
+        seq = g.groupby(key, sort=False).cumcount().to_numpy(np.int64)
+        run_id = np.cumsum(first) - 1          # global run counter, 0-based
+        rank = seq[first][run_id] + 1          # run-start row number per key
+        cum_first = np.cumsum(first)           # 1-based global run counter
+        key_run = np.cumsum(kchange) - 1
+        dense = cum_first - cum_first[kchange][key_run] + 1
+        g[rank_name] = rank.astype(np.int64)
+        g[dense_name] = dense.astype(np.int64)
+        return from_pandas_clean(g)
+
+    return bucketed.groupby("__bucket").map_groups(_rank, batch_format="pandas")
+
+
+def grouped_rolling_sum(
+    ds: Dataset,
+    key: str,
+    order_cols: list[str],
+    value_col: str,
+    window: int,
+    out_name: str | None = None,
+    n_buckets: int = 64,
+    int_key: bool = True,
+) -> Dataset:
+    """Moving-frame window aggregate — ``SUM(value) OVER (PARTITION BY key
+    ORDER BY order_cols ROWS BETWEEN window-1 PRECEDING AND CURRENT ROW)``.
+    Same one-shuffle bucketed plan; per bucket the frame sums come from a
+    per-key cumulative sum minus its window-shifted self — O(n) total, no
+    ``pandas.rolling`` (whose sliding-kernel float re-association would
+    break hash-exactness).  Integer value columns stay exact: the cumsum
+    is int64 and the shifted subtraction round-trips float64 only for
+    magnitudes < 2^53."""
+    bucket = add_hash_bucket_int if int_key else add_hash_bucket
+    bucketed = bucket(ds, key, n_buckets)
+    out = out_name or f"sum{window}_{value_col}"
+
+    def _roll(g: pd.DataFrame) -> pa.Table:
+        g = (
+            g.drop(columns=["__bucket"])
+            .sort_values([key, *order_cols], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        grp = g.groupby(key, sort=False)
+        cum = grp[value_col].cumsum()
+        shifted = cum.groupby(g[key], sort=False).shift(window)
+        moving = cum - shifted.fillna(0)
+        if pd.api.types.is_integer_dtype(g[value_col].dtype):
+            moving = moving.astype("int64")
+        g[out] = moving
+        return from_pandas_clean(g)
+
+    return bucketed.groupby("__bucket").map_groups(_roll, batch_format="pandas")
 
 
 def asof_join(
@@ -345,6 +441,23 @@ def anti_join_shuffled(
     are large: tag provenance, union, hash-bucket shuffle, and per bucket
     keep left rows whose key has no right row.  Ray Data has no native
     anti-join (SURVEY.md §2.5 J2); this is the explicit partitioned form."""
+    return _presence_join(left, right, key, keep_present=False, n_buckets=n_buckets)
+
+
+def semi_join_shuffled(
+    left: Dataset, right: Dataset, key: str, n_buckets: int = 64
+) -> Dataset:
+    """Exact distributed semi-join (left rows whose ``key`` HAS at least one
+    right row — SQL ``WHERE key IN (SELECT key FROM right)``) when both
+    sides are large: the same single tagged-union hash shuffle as
+    ``anti_join_shuffled`` with the presence mask flipped.  Left rows are
+    never duplicated (unlike an inner join against a non-unique right)."""
+    return _presence_join(left, right, key, keep_present=True, n_buckets=n_buckets)
+
+
+def _presence_join(
+    left: Dataset, right: Dataset, key: str, keep_present: bool, n_buckets: int
+) -> Dataset:
     lschema = left.schema()
     pa_schema = getattr(lschema, "base_schema", None)
     lcols = list(lschema.names)
@@ -368,12 +481,45 @@ def anti_join_shuffled(
     rt = rt.map_batches(_pad, batch_format="pyarrow")
     both = add_hash_bucket(lt.union(rt), key, n_buckets)
 
-    def _anti(g: pd.DataFrame) -> pa.Table:
+    def _presence(g: pd.DataFrame) -> pa.Table:
         right_keys = set(g.loc[g["__is_left"] == 0, key])
-        mask = ((g["__is_left"] == 1) & ~g[key].isin(right_keys)).to_numpy()
+        present = g[key].isin(right_keys)
+        mask = ((g["__is_left"] == 1) & (present if keep_present else ~present)).to_numpy()
         # convert BEFORE filtering: an empty pandas frame would lose its
         # column types (object → null) and break downstream unification
         t = from_pandas_clean(g.drop(columns=["__bucket", "__is_left"]))
         return t.filter(pa.array(mask))
 
-    return both.groupby("__bucket").map_groups(_anti, batch_format="pandas")
+    return both.groupby("__bucket").map_groups(_presence, batch_format="pandas")
+
+
+def intersect_keys(
+    a: Dataset, b: Dataset, key: str, n_buckets: int = 64, int_key: bool = False
+) -> Dataset:
+    """Distinct ``key`` values present in BOTH datasets — SQL ``SELECT key
+    FROM a INTERSECT SELECT key FROM b``.  Per-batch distinct combiner
+    first (the shuffle moves each block's unique keys, not its rows), then
+    ONE hash-bucket shuffle keeps keys tagged from both sides.  Output is a
+    single-column Dataset of distinct keys."""
+
+    def _tag(flag: int):
+        def f(t: pa.Table) -> pa.Table:
+            u = pc.unique(t[key])
+            return pa.table(
+                {key: u, "__side": pa.array(np.full(len(u), flag, dtype=np.int8))}
+            )
+
+        return f
+
+    at = a.select_columns([key]).map_batches(_tag(0), batch_format="pyarrow")
+    bt = b.select_columns([key]).map_batches(_tag(1), batch_format="pyarrow")
+    bucket = add_hash_bucket_int if int_key else add_hash_bucket
+    both = bucket(at.union(bt), key, n_buckets)
+
+    def _ix(g: pd.DataFrame) -> pa.Table:
+        piv = g[[key, "__side"]].drop_duplicates()
+        cnt = piv.groupby(key, sort=False).size()
+        keep = cnt.index[cnt.to_numpy() == 2]
+        return from_pandas_clean(pd.DataFrame({key: np.asarray(keep)}))
+
+    return both.groupby("__bucket").map_groups(_ix, batch_format="pandas")

@@ -1104,15 +1104,15 @@ def orders_cumulative_spend(sf_dir: str) -> pd.DataFrame:
     )
 
 
-def revenue_rollup(sf_dir: str) -> pd.DataFrame:
-    """GROUPING SETS / ROLLUP over the 4-table join: revenue by
-    (nation, order priority) plus per-nation subtotals plus a grand
-    total (sentinel 'ALL').  Distributed plan = the same two bucketed
-    co-group shuffles as ``revenue_by_nation`` with the priority column
-    carried through; the rollup LEVELS are derived from the driver-sized
-    base aggregate (25 nations × 5 priorities) — the scale-correct way
-    to compute grouping sets: aggregate once at the finest grain, roll
-    up from there.
+def _revenue_base4(sf_dir: str) -> pd.DataFrame:
+    """Finest-grain base aggregate shared by the GROUPING SETS queries
+    (``revenue_rollup`` / ``revenue_cube``): integer-exact revenue by
+    (nation, order priority) from the 4-table join.  Distributed plan =
+    the same two bucketed co-group shuffles as ``revenue_by_nation`` with
+    the priority column carried through; the grouping-set LEVELS are then
+    derived from this driver-sized frame (25 nations × 5 priorities) —
+    the scale-correct way to compute grouping sets: aggregate once at the
+    finest grain, roll up from there.
 
     Float determinism: per-lineitem revenue is quantized ONCE to exact
     int64 ten-thousandths (``floor(x*1e4 + 0.5)`` — identical on both
@@ -1215,10 +1215,15 @@ def revenue_rollup(sf_dir: str) -> pd.DataFrame:
     nation = pd.read_parquet(_t(sf_dir, "nation"), columns=["n_nationkey", "n_name"])
     name_of = dict(zip(nation["n_nationkey"], nation["n_name"]))
     parts["n_name"] = parts["c_nationkey"].map(name_of)
-    base = parts.groupby(["n_name", "o_orderpriority"], as_index=False).agg(
+    return parts.groupby(["n_name", "o_orderpriority"], as_index=False).agg(
         n_orders=("n_orders", "sum"), rev4=("rev4", "sum")
     )
-    # rollup levels from the driver-sized base (25 × 5 rows)
+
+
+def _grouping_levels(base: pd.DataFrame, cube: bool) -> pd.DataFrame:
+    """Assemble ROLLUP (or CUBE) levels from the driver-sized base
+    aggregate using the 'ALL' sentinel; integer sums only, ONE final
+    division — no rounding anywhere."""
     lvl1 = base.groupby("n_name", as_index=False).agg(
         n_orders=("n_orders", "sum"), rev4=("rev4", "sum")
     )
@@ -1231,8 +1236,14 @@ def revenue_rollup(sf_dir: str) -> pd.DataFrame:
             "rev4": [base["rev4"].sum()],
         }
     )
-    out = pd.concat([base, lvl1, lvl0], ignore_index=True)
-    # exact int64 sum -> ONE division; no rounding anywhere
+    levels = [base, lvl1, lvl0]
+    if cube:
+        lvlp = base.groupby("o_orderpriority", as_index=False).agg(
+            n_orders=("n_orders", "sum"), rev4=("rev4", "sum")
+        )
+        lvlp["n_name"] = "ALL"
+        levels.append(lvlp)
+    out = pd.concat(levels, ignore_index=True)
     out["revenue"] = out["rev4"].astype("int64") / 10000.0
     out["n_orders"] = out["n_orders"].astype("int64")
     return (
@@ -1240,6 +1251,22 @@ def revenue_rollup(sf_dir: str) -> pd.DataFrame:
         .sort_values(["n_name", "o_orderpriority"])
         .reset_index(drop=True)
     )
+
+
+def revenue_rollup(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY ROLLUP(n_name, o_orderpriority): the finest grain plus
+    per-nation subtotals plus a grand total (sentinel 'ALL').  See
+    ``_revenue_base4`` for the distributed plan + float-determinism
+    notes."""
+    return _grouping_levels(_revenue_base4(sf_dir), cube=False)
+
+
+def revenue_cube(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY CUBE(n_name, o_orderpriority): the ROLLUP levels plus the
+    per-priority subtotal slice (nation = 'ALL').  Same distributed base
+    aggregate as ``revenue_rollup`` — a CUBE is just one more roll-up of
+    the driver-sized finest-grain frame."""
+    return _grouping_levels(_revenue_base4(sf_dir), cube=True)
 
 
 def events_time_deltas(sf_dir: str) -> pd.DataFrame:
@@ -1377,3 +1404,175 @@ def revenue_by_nation(sf_dir: str) -> pd.DataFrame:
         .sort_values("n_name")
         .reset_index(drop=True)
     )
+
+
+def orders_price_ranks(sf_dir: str) -> pd.DataFrame:
+    """Analytic RANK / DENSE_RANK: each order's price rank within its
+    customer (``RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+    DESC)``).  One hash(custkey)-bucketed shuffle + vectorized run-boundary
+    arithmetic per bucket (ops.grouped_rank); ranks are int64 so the
+    driver hash carries no float risk (o_totalprice itself is not
+    returned)."""
+    from ..ops import grouped_rank
+
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_totalprice"])
+    out = grouped_rank(
+        ds, key="o_custkey", order_cols=["o_totalprice"], descending=[True],
+        rank_name="price_rank", dense_name="price_dense_rank",
+    ).to_pandas()
+    return (
+        out[["o_custkey", "o_orderkey", "price_rank", "price_dense_rank"]]
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+
+
+def orders_moving_spend(sf_dir: str) -> pd.DataFrame:
+    """Moving-frame window aggregate (ROWS BETWEEN 2 PRECEDING AND CURRENT
+    ROW): per-customer 3-order moving spend in (o_orderdate, o_orderkey)
+    order.  Prices are quantized to exact int64 cents per batch
+    (``floor(x*100 + 0.5)`` — identical on both engines for identical
+    input doubles) BEFORE the window, so the frame sums are order-free
+    integer math on both sides.  One bucketed shuffle
+    (ops.grouped_rolling_sum), cumsum-minus-shifted-cumsum per bucket."""
+    from ..ops import grouped_rolling_sum
+
+    ds = _read(
+        sf_dir, "orders",
+        columns=["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def _cents(t: pa.Table) -> pa.Table:
+        c = np.floor(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100 + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "o_custkey": t["o_custkey"],
+                "o_orderkey": t["o_orderkey"],
+                "o_orderdate": t["o_orderdate"],
+                "cents": pa.array(c),
+            }
+        )
+
+    out = grouped_rolling_sum(
+        ds.map_batches(_cents, batch_format="pyarrow"),
+        key="o_custkey", order_cols=["o_orderdate", "o_orderkey"],
+        value_col="cents", window=3, out_name="spend3_cents",
+    ).to_pandas()
+    out["spend3_cents"] = out["spend3_cents"].astype("int64")
+    return (
+        out[["o_custkey", "o_orderkey", "spend3_cents"]]
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+
+
+def customers_with_urgent_orders(sf_dir: str) -> pd.DataFrame:
+    """Distributed SEMI-join (EXISTS / IN-subquery): customers with at
+    least one 1-URGENT order.  The right side is filtered + projected to
+    its key per batch, then ONE tagged-union hash shuffle keeps present
+    left rows exactly once (ops.semi_join_shuffled) — no inner-join row
+    duplication, no driver-side key set."""
+    from ..ops import semi_join_shuffled
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])
+
+    def _urgent(t: pa.Table) -> pa.Table:
+        m = pc.equal(t["o_orderpriority"], "1-URGENT")
+        return pa.table({"c_custkey": t.filter(m)["o_custkey"]})
+
+    right = orders.map_batches(_urgent, batch_format="pyarrow")
+    out = semi_join_shuffled(cust, right, "c_custkey").to_pandas()
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def events_pivot_daily(sf_dir: str) -> pd.DataFrame:
+    """PIVOT (conditional aggregation): events per day spread into one
+    int64 count column per event type + a total.  Per-batch (day, type)
+    count partials are the combiner — the shuffle moves at most
+    days×types rows per block, never events — then one tiny grouped sum;
+    the final pivot runs on the driver-sized (days × types) frame."""
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+
+    def _part(t: pa.Table) -> pa.Table:
+        y = pc.cast(pc.year(t["ts"]), pa.int64())
+        m = pc.cast(pc.month(t["ts"]), pa.int64())
+        d = pc.cast(pc.day(t["ts"]), pa.int64())
+        ymd = pc.add(pc.add(pc.multiply(y, 10000), pc.multiply(m, 100)), d)
+        df = pd.DataFrame(
+            {"ymd": ymd.to_numpy(), "event_type": t["event_type"].to_pylist()}
+        )
+        g = df.groupby(["ymd", "event_type"], as_index=False).size()
+        g = g.rename(columns={"size": "n"})
+        g["n"] = g["n"].astype("int64")
+        return from_pandas_clean(g)
+
+    agg = (
+        ds.map_batches(_part, batch_format="pyarrow")
+        .groupby(["ymd", "event_type"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    piv = agg.pivot(index="ymd", columns="event_type", values="n").fillna(0)
+    total = piv.sum(axis=1).astype("int64")
+    out = pd.DataFrame({"ymd": piv.index.to_numpy()})
+    for tname in _EVENT_TYPES:
+        col = piv[tname] if tname in piv.columns else 0
+        out[f"n_{tname}"] = np.asarray(col, dtype=np.int64)
+    out["n_total"] = total.to_numpy()
+    return out.sort_values("ymd").reset_index(drop=True)
+
+
+def docs_length_histogram(sf_dir: str, width: int = 200) -> pd.DataFrame:
+    """Fixed-width histogram (width_bucket) over document char lengths:
+    per-batch ``np.unique`` bincount partials (the shuffle moves at most
+    |bins| rows per block), one tiny grouped sum.  Pure streaming — the
+    documents table is read once, text column only, nothing
+    materializes."""
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def _part(t: pa.Table) -> pa.Table:
+        n = pc.utf8_length(t["text"]).to_numpy(zero_copy_only=False).astype(np.int64)
+        lo, cnt = np.unique((n // width) * width, return_counts=True)
+        return pa.table(
+            {"bucket_lo": pa.array(lo), "n_docs": pa.array(cnt.astype(np.int64))}
+        )
+
+    out = (
+        ds.map_batches(_part, batch_format="pyarrow")
+        .groupby("bucket_lo")
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+        .to_pandas()
+    )
+    out["n_docs"] = out["n_docs"].astype("int64")
+    return out[["bucket_lo", "n_docs"]].sort_values("bucket_lo").reset_index(drop=True)
+
+
+def events_user_overlap(sf_dir: str) -> pd.DataFrame:
+    """Set intersection (SQL INTERSECT): distinct users who both clicked
+    and purchased.  Per-batch distinct combiner on each side, then ONE
+    hash-bucket shuffle keeps keys tagged from both sides
+    (ops.intersect_keys) — the shuffle carries unique (user, side) pairs,
+    never raw events."""
+    from ..ops import intersect_keys
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def _of(tname: str):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {"user_id": t.filter(pc.equal(t["event_type"], tname))["user_id"]}
+            )
+
+        return f
+
+    clicks = ds.map_batches(_of("click"), batch_format="pyarrow")
+    buys = ds.map_batches(_of("purchase"), batch_format="pyarrow")
+    out = intersect_keys(clicks, buys, "user_id", int_key=True).to_pandas()
+    out["user_id"] = out["user_id"].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)

@@ -216,9 +216,11 @@ def test_adaptive_window_size_policy(ray_session, tmp_path):
     assert eng._window_size(0, 10) == 4  # fused_window_rows unset → static
 
     eng.cfg.fused_window_rows = 1000
-    # no history → ratio 1.0: floor(1000/300) capped at 3 full levels
-    assert eng._window_size(0, 300) == 3
-    assert eng._window_size(0, 5) == 4  # tiny head levels → the full cap
+    # no history → cold-start prior assumes the clamp MAX growth (×8): a
+    # BFS frontier grows geometrically, so the first window stays narrow
+    # (300 + est 2400 busts 1000 → W=1)
+    assert eng._window_size(0, 300) == 1
+    assert eng._window_size(0, 5) == 3  # 5+40+320 fits; +2560 busts
     assert eng._window_size(0, 2000) == 1  # one over-target level still runs
     eng.cfg.max_levels = 2
     assert eng._window_size(1, 5) == 1  # never past max_levels

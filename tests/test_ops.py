@@ -203,3 +203,145 @@ def test_grouped_running_sum_matches_duckdb_window(ray_session):
     ).df()
     # bit-identical: same sequential addition order per key
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_grouped_rank_matches_pandas(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from crawler_uni_ray.ops import grouped_rank
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 23, 400),
+            "id": np.arange(400),
+            # small value domain → plenty of ties within keys
+            "v": rng.integers(0, 6, 400),
+        }
+    )
+    out = (
+        grouped_rank(
+            rd.from_pandas(df), key="k", order_cols=["v"], descending=[True],
+            rank_name="r", dense_name="d", n_buckets=5,
+        )
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    want_r = (
+        df.groupby("k")["v"].rank(method="min", ascending=False).astype("int64")
+    )
+    want_d = (
+        df.groupby("k")["v"].rank(method="dense", ascending=False).astype("int64")
+    )
+    assert list(out["r"]) == list(want_r)
+    assert list(out["d"]) == list(want_d)
+
+
+def test_grouped_rank_multi_order_cols(ray_session):
+    import ray.data as rd
+
+    from crawler_uni_ray.ops import grouped_rank
+
+    df = pd.DataFrame(
+        {
+            "k": [1, 1, 1, 1, 2, 2],
+            "id": [0, 1, 2, 3, 4, 5],
+            "a": [1, 1, 1, 2, 5, 5],
+            "b": ["x", "x", "y", "x", "q", "q"],
+        }
+    )
+    out = (
+        grouped_rank(
+            rd.from_pandas(df), key="k", order_cols=["a", "b"],
+            rank_name="r", dense_name="d", n_buckets=3,
+        )
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    # key 1 tuples: (1,x),(1,x),(1,y),(2,x) → ranks 1,1,3,4 dense 1,1,2,3
+    assert list(out["r"]) == [1, 1, 3, 4, 1, 1]
+    assert list(out["d"]) == [1, 1, 2, 3, 1, 1]
+
+
+def test_grouped_rolling_sum_matches_duckdb_frame(ray_session):
+    import duckdb
+    import numpy as np
+    import ray.data as rd
+
+    from crawler_uni_ray.ops import grouped_rolling_sum
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 17, 300),
+            "o": np.arange(300),
+            "v": rng.integers(-50, 1000, 300),
+        }
+    )
+    out = (
+        grouped_rolling_sum(
+            rd.from_pandas(df), key="k", order_cols=["o"], value_col="v",
+            window=4, out_name="s", n_buckets=5,
+        )
+        .to_pandas()
+        .sort_values("o")
+        .reset_index(drop=True)
+    )
+    want = duckdb.connect().execute(
+        """
+        SELECT o, SUM(v) OVER (PARTITION BY k ORDER BY o
+                               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS s
+        FROM df ORDER BY o
+        """
+    ).df()
+    assert list(out["s"].astype("int64")) == list(want["s"].astype("int64"))
+
+
+def test_grouped_lag_lead(ray_session):
+    import ray.data as rd
+
+    from crawler_uni_ray.ops import grouped_lag
+
+    df = pd.DataFrame({"k": [1, 1, 1, 2, 2], "o": [1, 2, 3, 1, 2], "v": [10, 20, 30, 40, 50]})
+    lead = (
+        grouped_lag(
+            rd.from_pandas(df), key="k", order_cols=["o"], value_col="v",
+            lag_name="nxt", n_buckets=3, periods=-1,
+        )
+        .to_pandas()
+        .sort_values(["k", "o"])
+    )
+    assert list(lead["nxt"].fillna(-1).astype("int64")) == [20, 30, -1, 50, -1]
+
+
+def test_semi_join_shuffled(ray_session):
+    import ray.data as rd
+
+    from crawler_uni_ray.ops import semi_join_shuffled
+
+    left = rd.from_items([{"url": f"u{i}", "x": i} for i in range(30)])
+    # right has duplicate keys — semi join must not duplicate left rows
+    right = rd.from_items([{"url": f"u{i % 10}"} for i in range(0, 60, 3)])
+    out = semi_join_shuffled(left, right, "url", n_buckets=4).to_pandas()
+    want = sorted({f"u{i % 10}" for i in range(0, 60, 3)})
+    assert sorted(out["url"]) == want
+    assert set(out.columns) == {"url", "x"}
+
+
+def test_intersect_keys(ray_session):
+    import ray.data as rd
+
+    from crawler_uni_ray.ops import intersect_keys
+
+    a = rd.from_items([{"id": i} for i in list(range(0, 40, 2)) * 2])  # evens, dup'd
+    b = rd.from_items([{"id": i} for i in range(0, 40, 3)])  # multiples of 3
+    out = intersect_keys(a, b, "id", n_buckets=4, int_key=True).to_pandas()
+    assert sorted(out["id"]) == [i for i in range(0, 40) if i % 6 == 0]
+    # string keys through the string-hash bucket path
+    sa = rd.from_items([{"u": f"k{i}"} for i in range(10)])
+    sb = rd.from_items([{"u": f"k{i}"} for i in range(5, 15)])
+    got = intersect_keys(sa, sb, "u", n_buckets=3).to_pandas()
+    assert sorted(got["u"]) == [f"k{i}" for i in range(5, 10)]
