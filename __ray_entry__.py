@@ -115,6 +115,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_cube": q.revenue_cube,
         "docs_length_histogram": q.docs_length_histogram,
         "events_user_overlap": q.events_user_overlap,
+        "events_click_only_users": q.events_click_only_users,
+        "events_last_per_user": q.events_last_per_user,
+        "orders_spend_quartiles": q.orders_spend_quartiles,
     }
 
 
@@ -587,11 +590,47 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_docs
             FROM documents GROUP BY 1 ORDER BY 1
         """,
+        # Set ops at (user, day) granularity — user-level sets are
+        # degenerate at these scales (every user has every event type).
         "events_user_overlap": """
-            SELECT user_id FROM events WHERE event_type = 'click'
+            SELECT user_id,
+                   CAST(year(ts)*10000 + month(ts)*100 + day(ts) AS BIGINT) AS ymd
+            FROM events WHERE event_type = 'click'
             INTERSECT
-            SELECT user_id FROM events WHERE event_type = 'purchase'
-            ORDER BY user_id
+            SELECT user_id,
+                   CAST(year(ts)*10000 + month(ts)*100 + day(ts) AS BIGINT) AS ymd
+            FROM events WHERE event_type = 'purchase'
+            ORDER BY user_id, ymd
+        """,
+        "events_click_only_users": """
+            SELECT user_id,
+                   CAST(year(ts)*10000 + month(ts)*100 + day(ts) AS BIGINT) AS ymd
+            FROM events WHERE event_type = 'click'
+            EXCEPT
+            SELECT user_id,
+                   CAST(year(ts)*10000 + month(ts)*100 + day(ts) AS BIGINT) AS ymd
+            FROM events WHERE event_type = 'purchase'
+            ORDER BY user_id, ymd
+        """,
+        # Per-key argmax: a UNIQUE descending order makes RANK ≡
+        # ROW_NUMBER, so 'rank 1' is well-defined on both engines.
+        "events_last_per_user": """
+            SELECT user_id, event_id, event_type
+            FROM (
+                SELECT user_id, event_id, event_type,
+                       ROW_NUMBER() OVER (PARTITION BY user_id
+                                          ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events
+            )
+            WHERE rn = 1 ORDER BY user_id
+        """,
+        # NTILE ties are broken by o_orderkey → deterministic tiles.
+        "orders_spend_quartiles": """
+            SELECT o_custkey, o_orderkey,
+                   CAST(NTILE(4) OVER (PARTITION BY o_custkey
+                                       ORDER BY o_totalprice DESC, o_orderkey)
+                        AS BIGINT) AS spend_quartile
+            FROM orders ORDER BY o_orderkey
         """,
         # Remaining queries (fingerprint/minhash/simhash/LSH ANN/
         # embedding-dup/crawl/media) are genuinely non-SQL-expressible

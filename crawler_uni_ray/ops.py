@@ -523,3 +523,81 @@ def intersect_keys(
         return from_pandas_clean(pd.DataFrame({key: np.asarray(keep)}))
 
     return both.groupby("__bucket").map_groups(_ix, batch_format="pandas")
+
+
+def except_keys(
+    a: Dataset, b: Dataset, key: str, n_buckets: int = 64, int_key: bool = False
+) -> Dataset:
+    """Distinct ``key`` values in ``a`` but NOT in ``b`` — SQL ``SELECT key
+    FROM a EXCEPT SELECT key FROM b``.  Same single-shuffle tagged-distinct
+    plan as ``intersect_keys`` with the keep condition flipped to
+    'a-side only'.  With ``intersect_keys`` and ``Dataset.union`` this
+    completes the SQL set-operation family."""
+
+    def _tag(flag: int):
+        def f(t: pa.Table) -> pa.Table:
+            u = pc.unique(t[key])
+            return pa.table(
+                {key: u, "__side": pa.array(np.full(len(u), flag, dtype=np.int8))}
+            )
+
+        return f
+
+    at = a.select_columns([key]).map_batches(_tag(0), batch_format="pyarrow")
+    bt = b.select_columns([key]).map_batches(_tag(1), batch_format="pyarrow")
+    bucket = add_hash_bucket_int if int_key else add_hash_bucket
+    both = bucket(at.union(bt), key, n_buckets)
+
+    def _ex(g: pd.DataFrame) -> pa.Table:
+        piv = g[[key, "__side"]].drop_duplicates()
+        agg = piv.groupby(key, sort=False)["__side"].agg(["size", "max"])
+        keep = agg.index[(agg["size"].to_numpy() == 1) & (agg["max"].to_numpy() == 0)]
+        return from_pandas_clean(pd.DataFrame({key: np.asarray(keep)}))
+
+    return both.groupby("__bucket").map_groups(_ex, batch_format="pandas")
+
+
+def grouped_ntile(
+    ds: Dataset,
+    key: str,
+    order_cols: list[str],
+    n: int,
+    descending: list[bool] | None = None,
+    out_name: str = "ntile",
+    n_buckets: int = 64,
+    int_key: bool = True,
+) -> Dataset:
+    """Analytic ``NTILE(n) OVER (PARTITION BY key ORDER BY order_cols)``:
+    rows of each key split into ``n`` near-equal ordered tiles, the first
+    ``count % n`` tiles one row larger — exactly the SQL function's
+    remainder rule.  Same one-shuffle bucketed plan; per bucket ONE stable
+    sort + closed-form tile arithmetic from the per-key row number and
+    count (no per-group Python)."""
+    bucket = add_hash_bucket_int if int_key else add_hash_bucket
+    bucketed = bucket(ds, key, n_buckets)
+    asc = [True] + [not d for d in (descending or [False] * len(order_cols))]
+
+    def _ntile(g: pd.DataFrame) -> pa.Table:
+        g = (
+            g.drop(columns=["__bucket"])
+            .sort_values([key, *order_cols], ascending=asc, kind="mergesort")
+            .reset_index(drop=True)
+        )
+        if len(g) == 0:
+            g[out_name] = pd.Series([], dtype="int64")
+            return from_pandas_clean(g)
+        grp = g.groupby(key, sort=False)
+        seq = grp.cumcount().to_numpy(np.int64)  # 0-based row number per key
+        cnt = grp[key].transform("size").to_numpy(np.int64)
+        q, r = cnt // n, cnt % n
+        boundary = r * (q + 1)  # rows below it sit in the size-(q+1) tiles
+        big = seq < boundary
+        tile = np.where(
+            big,
+            seq // np.maximum(q + 1, 1) + 1,
+            np.where(q > 0, (seq - boundary) // np.maximum(q, 1) + r + 1, seq + 1),
+        )
+        g[out_name] = tile.astype(np.int64)
+        return from_pandas_clean(g)
+
+    return bucketed.groupby("__bucket").map_groups(_ntile, batch_format="pandas")

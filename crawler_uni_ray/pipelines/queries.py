@@ -1553,26 +1553,95 @@ def docs_length_histogram(sf_dir: str, width: int = 200) -> pd.DataFrame:
     return out[["bucket_lo", "n_docs"]].sort_values("bucket_lo").reset_index(drop=True)
 
 
+def _user_day_slice(sf_dir: str, tname: str):
+    """(user_id, day) pairs for one event type, packed into ONE int64
+    composite key (user_id·1e8 + yyyymmdd — both components far inside
+    the pack radix) so the set ops run on a single hashable column."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+
+    def _f(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], tname))
+        y = pc.cast(pc.year(t["ts"]), pa.int64())
+        m = pc.cast(pc.month(t["ts"]), pa.int64())
+        d = pc.cast(pc.day(t["ts"]), pa.int64())
+        ymd = pc.add(pc.add(pc.multiply(y, 10000), pc.multiply(m, 100)), d)
+        ud = pc.add(pc.multiply(t["user_id"], 100000000), ymd)
+        return pa.table({"ud": ud})
+
+    return ds.map_batches(_f, batch_format="pyarrow")
+
+
+def _unpack_user_day(out: pd.DataFrame) -> pd.DataFrame:
+    out = _ensure_cols(out, {"ud": "int64"})
+    ud = out["ud"].astype("int64")
+    res = pd.DataFrame({"user_id": ud // 100000000, "ymd": ud % 100000000})
+    return res.sort_values(["user_id", "ymd"]).reset_index(drop=True)
+
+
 def events_user_overlap(sf_dir: str) -> pd.DataFrame:
-    """Set intersection (SQL INTERSECT): distinct users who both clicked
-    and purchased.  Per-batch distinct combiner on each side, then ONE
-    hash-bucket shuffle keeps keys tagged from both sides
-    (ops.intersect_keys) — the shuffle carries unique (user, side) pairs,
+    """Set intersection (SQL INTERSECT): (user, day) pairs with BOTH a
+    click and a purchase that day.  Per-batch distinct combiner on each
+    side, then ONE hash-bucket shuffle keeps keys tagged from both sides
+    (ops.intersect_keys) — the shuffle carries unique composite keys,
     never raw events."""
     from ..ops import intersect_keys
 
-    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    out = intersect_keys(
+        _user_day_slice(sf_dir, "click"), _user_day_slice(sf_dir, "purchase"),
+        "ud", int_key=True,
+    ).to_pandas()
+    return _unpack_user_day(out)
 
-    def _of(tname: str):
-        def f(t: pa.Table) -> pa.Table:
-            return pa.table(
-                {"user_id": t.filter(pc.equal(t["event_type"], tname))["user_id"]}
-            )
 
-        return f
+def events_click_only_users(sf_dir: str) -> pd.DataFrame:
+    """Set difference (SQL EXCEPT): (user, day) pairs with a click but NO
+    purchase that day.  Same tagged-distinct single-shuffle plan as
+    ``events_user_overlap`` with the keep condition flipped
+    (ops.except_keys) — together with INTERSECT and union this completes
+    the set-operation family."""
+    from ..ops import except_keys
 
-    clicks = ds.map_batches(_of("click"), batch_format="pyarrow")
-    buys = ds.map_batches(_of("purchase"), batch_format="pyarrow")
-    out = intersect_keys(clicks, buys, "user_id", int_key=True).to_pandas()
-    out["user_id"] = out["user_id"].astype("int64")
-    return out.sort_values("user_id").reset_index(drop=True)
+    out = except_keys(
+        _user_day_slice(sf_dir, "click"), _user_day_slice(sf_dir, "purchase"),
+        "ud", int_key=True,
+    ).to_pandas()
+    return _unpack_user_day(out)
+
+
+def events_last_per_user(sf_dir: str) -> pd.DataFrame:
+    """Per-key argmax (latest event per user, ROW_NUMBER()=1 pattern):
+    grouped rank over a UNIQUE descending order (ts, event_id) — so rank
+    ≡ row_number — then keep rank 1.  One bucketed shuffle; the filter
+    happens driver-side on the result frame (one row per user)."""
+    from ..ops import grouped_rank
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+    out = grouped_rank(
+        ds, key="user_id", order_cols=["ts", "event_id"],
+        descending=[True, True], rank_name="rn", dense_name="__d",
+    ).to_pandas()
+    out = out[out["rn"] == 1]
+    return (
+        out[["user_id", "event_id", "event_type"]]
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+
+
+def orders_spend_quartiles(sf_dir: str) -> pd.DataFrame:
+    """NTILE(4) analytic: each order's spend quartile within its customer
+    (descending price; ties broken by o_orderkey so the tile assignment
+    is deterministic on both engines).  One bucketed shuffle + closed-form
+    tile arithmetic per bucket (ops.grouped_ntile)."""
+    from ..ops import grouped_ntile
+
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_totalprice"])
+    out = grouped_ntile(
+        ds, key="o_custkey", order_cols=["o_totalprice", "o_orderkey"],
+        n=4, descending=[True, False], out_name="spend_quartile",
+    ).to_pandas()
+    return (
+        out[["o_custkey", "o_orderkey", "spend_quartile"]]
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )

@@ -345,3 +345,44 @@ def test_intersect_keys(ray_session):
     sb = rd.from_items([{"u": f"k{i}"} for i in range(5, 15)])
     got = intersect_keys(sa, sb, "u", n_buckets=3).to_pandas()
     assert sorted(got["u"]) == [f"k{i}" for i in range(5, 10)]
+
+
+def test_except_keys(ray_session):
+    import ray.data as rd
+
+    from crawler_uni_ray.ops import except_keys
+
+    a = rd.from_items([{"id": i} for i in list(range(0, 40, 2)) * 2])  # evens
+    b = rd.from_items([{"id": i} for i in range(0, 40, 3)])
+    out = except_keys(a, b, "id", n_buckets=4, int_key=True).to_pandas()
+    assert sorted(out["id"]) == [i for i in range(0, 40, 2) if i % 3 != 0]
+    sa = rd.from_items([{"u": f"k{i}"} for i in range(10)])
+    sb = rd.from_items([{"u": f"k{i}"} for i in range(5, 15)])
+    got = except_keys(sa, sb, "u", n_buckets=3).to_pandas()
+    assert sorted(got["u"]) == [f"k{i}" for i in range(5)]
+
+
+def test_grouped_ntile_matches_duckdb(ray_session):
+    import duckdb
+    import numpy as np
+    import ray.data as rd
+
+    from crawler_uni_ray.ops import grouped_ntile
+
+    rng = np.random.default_rng(13)
+    # key sizes deliberately spread around n (1..12 rows vs NTILE(4)) to
+    # hit the q=0, r=0 and remainder cases
+    df = pd.DataFrame({"k": rng.integers(0, 40, 250), "o": np.arange(250)})
+    out = (
+        grouped_ntile(
+            rd.from_pandas(df), key="k", order_cols=["o"], n=4,
+            out_name="t", n_buckets=5,
+        )
+        .to_pandas()
+        .sort_values("o")
+        .reset_index(drop=True)
+    )
+    want = duckdb.connect().execute(
+        "SELECT o, NTILE(4) OVER (PARTITION BY k ORDER BY o) AS t FROM df ORDER BY o"
+    ).df()
+    assert list(out["t"].astype("int64")) == list(want["t"].astype("int64"))
