@@ -118,6 +118,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_click_only_users": q.events_click_only_users,
         "events_last_per_user": q.events_last_per_user,
         "orders_spend_quartiles": q.orders_spend_quartiles,
+        # outer joins, correlated subquery, exact moments, HAVING,
+        # PERCENT_RANK/CUME_DIST, mode, scalar string kernels (round 5)
+        "customers_urgent_order_counts": q.customers_urgent_order_counts,
+        "activity_full_outer": q.activity_full_outer,
+        "orders_above_cust_avg": q.orders_above_cust_avg,
+        "orders_price_percentiles": q.orders_price_percentiles,
+        "events_top_type_per_day": q.events_top_type_per_day,
+        "repeat_customers": q.repeat_customers,
+        "customer_name_features": q.customer_name_features,
+        "orders_spend_variance": q.orders_spend_variance,
+        # mergeable approx-quantile sketch (continuous domain; rows-only)
+        "events_value_quantiles_approx": q.events_value_quantiles_approx,
+        # interval join, bloom semi-join, ordered string_agg,
+        # Misra-Gries heavy hitters (round 5)
+        "events_click_attribution": q.events_click_attribution,
+        "orders_from_event_users": q.orders_from_event_users,
+        "nation_customer_names": q.nation_customer_names,
+        "docs_top_terms_approx": q.docs_top_terms_approx,
     }
 
 
@@ -631,6 +649,137 @@ def oracle_sql() -> dict[str, str]:
                                        ORDER BY o_totalprice DESC, o_orderkey)
                         AS BIGINT) AS spend_quartile
             FROM orders ORDER BY o_orderkey
+        """,
+        # LEFT OUTER JOIN + zero-fill: the right side is filtered in the
+        # join condition (not WHERE — that would kill the null-extended
+        # rows); all hashed outputs are exact int64 cents.
+        "customers_urgent_order_counts": """
+            SELECT c_custkey,
+                   COUNT(o_orderkey) AS n_urgent,
+                   CAST(COALESCE(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)), 0)
+                        AS BIGINT) AS urgent_cents
+            FROM customer LEFT JOIN orders
+              ON c_custkey = o_custkey AND o_orderpriority = '1-URGENT'
+            GROUP BY c_custkey ORDER BY c_custkey
+        """,
+        # FULL OUTER JOIN of the two activity rollups; ids 150+ order but
+        # never emit events, so the null-extended branch is real.
+        "activity_full_outer": """
+            WITH e AS (SELECT user_id AS id, COUNT(*) AS n_events
+                       FROM events GROUP BY 1),
+                 o AS (SELECT o_custkey AS id, COUNT(*) AS n_orders
+                       FROM orders GROUP BY 1)
+            SELECT COALESCE(e.id, o.id) AS id,
+                   COALESCE(e.n_events, 0) AS n_events,
+                   COALESCE(o.n_orders, 0) AS n_orders
+            FROM e FULL OUTER JOIN o ON e.id = o.id
+            ORDER BY id
+        """,
+        # Correlated scalar subquery, decorrelated; the strictly-above-
+        # average test is the integer cross-multiplication cents·n >
+        # sum_cents — no float division on either engine.
+        "orders_above_cust_avg": """
+            WITH o AS (
+                SELECT o_orderkey, o_custkey,
+                       CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+                FROM orders
+            ), s AS (
+                SELECT o_custkey, COUNT(*) AS n, SUM(cents) AS sc
+                FROM o GROUP BY 1
+            )
+            SELECT o.o_orderkey, o.o_custkey
+            FROM o JOIN s USING (o_custkey)
+            WHERE o.cents * s.n > s.sc
+            ORDER BY o.o_orderkey
+        """,
+        # PERCENT_RANK/CUME_DIST: the unique (price DESC, orderkey) order
+        # makes ranks deterministic; both values are one IEEE division of
+        # exact int64 counts → bit-identical across engines.
+        "orders_price_percentiles": """
+            SELECT o_custkey, o_orderkey,
+                   PERCENT_RANK() OVER w AS pct_rank,
+                   CUME_DIST() OVER w AS cume_dist
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey
+                         ORDER BY o_totalprice DESC, o_orderkey)
+            ORDER BY o_orderkey
+        """,
+        # Per-group MODE with lexicographic tie-break.
+        "events_top_type_per_day": """
+            WITH c AS (
+                SELECT CAST(year(ts)*10000 + month(ts)*100 + day(ts) AS BIGINT) AS ymd,
+                       event_type, COUNT(*) AS n_events
+                FROM events GROUP BY 1, 2
+            )
+            SELECT ymd, event_type AS top_type, n_events FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY ymd ORDER BY n_events DESC, event_type
+                ) AS rn FROM c
+            ) WHERE rn = 1 ORDER BY ymd
+        """,
+        # GROUP BY + HAVING (threshold 18 is non-empty at sf0.001 and 0.01).
+        "repeat_customers": """
+            SELECT o_custkey, COUNT(*) AS n_orders
+            FROM orders GROUP BY o_custkey
+            HAVING COUNT(*) >= 18 ORDER BY o_custkey
+        """,
+        # Scalar string functions — names are ASCII so char and codeunit
+        # slicing agree.
+        "customer_name_features": """
+            SELECT c_custkey,
+                   UPPER(c_name) AS name_upper,
+                   LENGTH(c_name) AS name_len,
+                   REVERSE(c_name) AS name_rev,
+                   SUBSTRING(c_name, 1, 8) AS name_prefix,
+                   c_mktsegment || '#' || CAST(c_nationkey AS VARCHAR) AS seg_tag
+            FROM customer ORDER BY c_custkey
+        """,
+        # Exact grouped sample variance from integer moments (HUGEINT sums
+        # ≡ the engine's arbitrary-precision Python ints); the only floats
+        # are the final two casts + one division, identical on both sides.
+        "orders_spend_variance": """
+            WITH o AS (
+                SELECT o_custkey,
+                       CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+                FROM orders
+            ), a AS (
+                SELECT o_custkey, COUNT(*) AS n_orders,
+                       SUM(CAST(c AS HUGEINT)) AS s,
+                       SUM(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS q
+                FROM o GROUP BY 1
+            )
+            SELECT o_custkey, n_orders,
+                   CAST(n_orders * q - s * s AS DOUBLE)
+                       / CAST(n_orders * (n_orders - 1) AS DOUBLE) AS var_cents2
+            FROM a WHERE n_orders > 1 ORDER BY o_custkey
+        """,
+        # Banded range join + integer-exact aggregate: [ts, ts+1d) is the
+        # half-open band interval_join implements (>= lo, < hi).
+        "events_click_attribution": """
+            SELECT c.event_id,
+                   COUNT(*) AS n_purchases,
+                   SUM(CAST(FLOOR(p.value * 100 + 0.5) AS BIGINT)) AS value_cents
+            FROM events c JOIN events p
+              ON p.user_id = c.user_id
+             AND p.event_type = 'purchase'
+             AND p.ts >= c.ts
+             AND p.ts < c.ts + INTERVAL 1 DAY
+            WHERE c.event_type = 'click'
+            GROUP BY c.event_id ORDER BY c.event_id
+        """,
+        # IN-subquery semi-join (bloom prefilter + exact verify on the Ray
+        # side; plain IN here).
+        "orders_from_event_users": """
+            SELECT o_orderkey, o_custkey FROM orders
+            WHERE o_custkey IN (SELECT user_id FROM events)
+            ORDER BY o_orderkey
+        """,
+        # Ordered string_agg — deterministic because the element order is
+        # pinned by c_custkey on both engines.
+        "nation_customer_names": """
+            SELECT c_nationkey,
+                   string_agg(c_name, '|' ORDER BY c_custkey) AS names
+            FROM customer GROUP BY c_nationkey ORDER BY c_nationkey
         """,
         # Remaining queries (fingerprint/minhash/simhash/LSH ANN/
         # embedding-dup/crawl/media) are genuinely non-SQL-expressible

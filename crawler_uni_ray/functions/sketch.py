@@ -121,3 +121,229 @@ def approx_distinct_by(ds: Dataset, key_col: str, col: str, p: int = 12) -> pd.D
         .to_pandas()
     )
     return out.sort_values(key_col).reset_index(drop=True)
+
+
+# --------------------------------------------------------------- quantiles
+#
+# Mergeable approximate-quantile summary (the "weighted sorted subsample"
+# form of mergeable summaries, Agarwal et al., PODS'12): each block sorts
+# its values and keeps every ⌈ε·n_block⌉-th one with the gap as its weight,
+# so a sample's cumulative weight equals its TRUE rank within the block.
+# Summaries concatenate (driver or tree reduce) and answer any quantile
+# with total rank error ≤ Σ per-block errors ≤ ε·n — deterministic, no
+# randomness, bounded at n_blocks × (1/ε + 1) rows on the wire.  This
+# complements ops.grouped_quantiles_disc, whose exact histogram plan needs
+# a BOUNDED value domain; the sketch handles continuous columns.
+
+
+def quantile_summary_batch(col, eps: float = 0.01) -> tuple[np.ndarray, np.ndarray]:
+    """(values, weights) summary of one batch: sorted ε-spaced subsample;
+    weight_j = #raw elements represented by sample j (its in-block rank
+    minus the previous sample's)."""
+    v = np.sort(np.asarray(col, dtype=np.float64))
+    n = len(v)
+    if n == 0:
+        return np.empty(0, dtype=np.float64), np.empty(0, dtype=np.int64)
+    s = max(1, int(np.floor(eps * n)))
+    idx = np.arange(s - 1, n, s, dtype=np.int64)
+    if idx[-1] != n - 1:
+        idx = np.append(idx, n - 1)  # the max is always kept
+    w = np.diff(np.concatenate(([np.int64(-1)], idx)))
+    return v[idx], w.astype(np.int64)
+
+
+def quantile_summary_merge(
+    parts: list[tuple[np.ndarray, np.ndarray]],
+) -> tuple[np.ndarray, np.ndarray]:
+    """Concatenate + re-sort partial summaries (weights ride along): the
+    merged summary's error is the SUM of the parts' absolute rank errors,
+    i.e. still ≤ ε·n_total when every part used the same ε."""
+    vals = np.concatenate([p[0] for p in parts]) if parts else np.empty(0)
+    wts = (
+        np.concatenate([p[1] for p in parts])
+        if parts
+        else np.empty(0, dtype=np.int64)
+    )
+    order = np.argsort(vals, kind="stable")
+    return vals[order], wts[order]
+
+
+def quantile_query(
+    vals: np.ndarray, wts: np.ndarray, qs: list[float]
+) -> list[float]:
+    """Answer quantiles from a merged summary: the first sample whose
+    cumulative weight reaches ⌈q·n⌉ (rank semantics of QUANTILE_DISC)."""
+    if len(vals) == 0:
+        return [float("nan")] * len(qs)
+    cum = np.cumsum(wts)
+    n = int(cum[-1])
+    out = []
+    for q in qs:
+        r = max(1, int(np.ceil(q * n)))
+        out.append(float(vals[np.searchsorted(cum, r)]))
+    return out
+
+
+def approx_quantiles(
+    ds: Dataset, col: str, qs: list[float], eps: float = 0.01
+) -> list[float]:
+    """Distributed approximate quantiles of a continuous column: one
+    bounded summary row per block leaves the workers (n_blocks × (1/ε+1)
+    samples total), merged + queried on the driver.  Guarantee: each
+    answer's true rank is within ε·n of ⌈q·n⌉."""
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        v, w = quantile_summary_batch(df[col].to_numpy(), eps)
+        return pd.DataFrame({"vals": [v], "wts": [w]})
+
+    rows = ds.map_batches(
+        _partial, batch_format="pandas", batch_size=None
+    ).take_all()  # bounded by construction — the combiner contract
+    merged = quantile_summary_merge(
+        [
+            (np.asarray(r["vals"], dtype=np.float64), np.asarray(r["wts"], dtype=np.int64))
+        for r in rows
+        ]
+    )
+    return quantile_query(merged[0], merged[1], qs)
+
+
+def approx_quantiles_by(
+    ds: Dataset, key_col: str, col: str, qs: list[float], eps: float = 0.01
+) -> pd.DataFrame:
+    """Grouped approximate quantiles: per-batch per-key summaries → ONE
+    groupby merge (summaries travel as variable-length list columns whose
+    size is ε-bounded, never data-sized).  Output: one row per key with a
+    ``q{...}`` column per requested quantile."""
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for k, sub in df.groupby(key_col, sort=False):
+            v, w = quantile_summary_batch(sub[col].to_numpy(), eps)
+            out.append({key_col: k, "vals": v, "wts": w})
+        return pd.DataFrame(out)
+
+    def _merge(g: pd.DataFrame) -> pd.DataFrame:
+        merged = quantile_summary_merge(
+            [
+                (
+                    np.asarray(v, dtype=np.float64),
+                    np.asarray(w, dtype=np.int64),
+                )
+                for v, w in zip(g["vals"], g["wts"])
+            ]
+        )
+        ans = quantile_query(merged[0], merged[1], qs)
+        row = {key_col: g[key_col].iloc[0]}
+        for q, a in zip(qs, ans):
+            row[f"q{str(q).replace('.', '_')}"] = a
+        return pd.DataFrame([row])
+
+    out = (
+        ds.map_batches(_partial, batch_format="pandas")
+        .groupby(key_col)
+        .map_groups(_merge, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(key_col).reset_index(drop=True)
+
+
+# ----------------------------------------------------------- heavy hitters
+#
+# Misra-Gries mergeable heavy-hitter summary (Misra & Gries '82; the
+# merge rule and its summed-error proof are Agarwal et al., PODS'12):
+# a size-k counter table whose every estimate undercounts its item's true
+# frequency by at most err = n/(k+1) summed over all compressions, and
+# which is GUARANTEED to contain every item with true count > err.
+# Partials are per-batch exact counts compressed to k entries (subtract
+# the (k+1)-th largest count, drop non-positives); merging = summing two
+# tables then compressing again, with errors adding — so the distributed
+# plan is the standard combiner shape: n_blocks × k (term, count) rows to
+# the driver, never the vocabulary.
+
+
+def mg_compress(counts: dict, k: int) -> tuple[dict, int]:
+    """Compress a counter table to ≤ k entries: subtract the (k+1)-th
+    largest count from everything, drop non-positives.  Returns (table,
+    subtracted) — ``subtracted`` adds to the summary's undercount bound."""
+    if len(counts) <= k:
+        return counts, 0
+    vals = np.fromiter(counts.values(), dtype=np.int64, count=len(counts))
+    thr = int(np.partition(vals, len(vals) - k - 1)[len(vals) - k - 1])
+    out = {t: c - thr for t, c in counts.items() if c > thr}
+    return out, thr
+
+
+def mg_merge(parts: list[tuple[dict, int]], k: int) -> tuple[dict, int]:
+    """Merge MG summaries: sum tables, sum error bounds, re-compress once.
+    The merged summary's undercount is ≤ Σ part errors + the one new
+    compression's subtraction (Agarwal et al.'s mergeability result)."""
+    total: dict = {}
+    err = 0
+    for tbl, e in parts:
+        err += e
+        for t, c in tbl.items():
+            total[t] = total.get(t, 0) + c
+    total, thr = mg_compress(total, k)
+    return total, err + thr
+
+
+def heavy_hitters_approx(
+    ds: Dataset, text_col: str = "text", k: int = 64, top: int = 25
+) -> pd.DataFrame:
+    """Approximate corpus-wide heavy-hitter terms WITHOUT the vocabulary
+    groupby that ``text.top_terms`` pays: each batch tokenizes, counts
+    exactly (batch-bounded), MG-compresses to k entries and emits ONE
+    summary row; the driver merges ``n_blocks × k`` rows.  Output: the
+    ``top`` entries by estimated count with the global error bound
+    attached (true count ∈ [n_est, n_est + err_bound] for listed terms;
+    any term with true count > err_bound is guaranteed listed).  The
+    exact plan shuffles the whole vocabulary once; this plan moves
+    O(blocks × k) rows total — the scale trade when only the head of the
+    distribution matters."""
+    from .text import TOKEN_RE
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = (
+            df[text_col]
+            .fillna("")
+            .str.lower()
+            .str.findall(TOKEN_RE)
+            .explode()
+            .dropna()
+            .value_counts()  # exact per-batch counts, pandas C path
+        )
+        n = int(vc.sum())
+        tbl, thr = mg_compress(vc.to_dict(), k)
+        terms = list(tbl.keys())
+        return pd.DataFrame(
+            {
+                "terms": [terms],
+                "counts": [np.fromiter((tbl[t] for t in terms), dtype=np.int64)],
+                "err": np.int64(thr),
+                "n_tokens": np.int64(n),
+            }
+        )
+
+    rows = ds.map_batches(
+        _partial, batch_format="pandas", batch_size=None
+    ).take_all()  # bounded: n_blocks × k entries by construction
+    merged, err = mg_merge(
+        [
+            ({t: int(c) for t, c in zip(r["terms"], r["counts"])}, int(r["err"]))
+            for r in rows
+        ],
+        k,
+    )
+    n_total = int(sum(int(r["n_tokens"]) for r in rows))
+    out = pd.DataFrame(
+        {"term": list(merged.keys()), "n_est": list(merged.values())}
+    ).astype({"n_est": "int64"})
+    out = (
+        out.sort_values(["n_est", "term"], ascending=[False, True], kind="mergesort")
+        .head(top)
+        .reset_index(drop=True)
+    )
+    out["err_bound"] = np.int64(err)
+    out["n_tokens_total"] = np.int64(n_total)
+    return out

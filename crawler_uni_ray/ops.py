@@ -601,3 +601,332 @@ def grouped_ntile(
         return from_pandas_clean(g)
 
     return bucketed.groupby("__bucket").map_groups(_ntile, batch_format="pandas")
+
+
+def grouped_pct_rank(
+    ds: Dataset,
+    key: str,
+    order_cols: list[str],
+    descending: list[bool] | None = None,
+    pct_name: str = "pct_rank",
+    cume_name: str = "cume_dist",
+    n_buckets: int = 64,
+    int_key: bool = True,
+) -> Dataset:
+    """Analytic ``PERCENT_RANK()`` + ``CUME_DIST() OVER (PARTITION BY key
+    ORDER BY order_cols)`` with full SQL tie semantics: PERCENT_RANK =
+    (rank-1)/(n-1) (0.0 for single-row partitions), CUME_DIST = (rows
+    ordered ≤ current, i.e. the tie-run's LAST row number)/n.  Same
+    one-shuffle bucketed plan as ``grouped_rank`` — run-boundary arithmetic
+    per bucket, no per-group Python.  Float determinism: both outputs are
+    ONE IEEE division of exact int64 counts (< 2^53), so they hash-compare
+    bit-identically against a SQL engine computing the same definition."""
+    bucket = add_hash_bucket_int if int_key else add_hash_bucket
+    bucketed = bucket(ds, key, n_buckets)
+    asc = [True] + [not d for d in (descending or [False] * len(order_cols))]
+
+    def _pct(g: pd.DataFrame) -> pa.Table:
+        g = (
+            g.drop(columns=["__bucket"])
+            .sort_values([key, *order_cols], ascending=asc, kind="mergesort")
+            .reset_index(drop=True)
+        )
+        n = len(g)
+        if n == 0:
+            g[pct_name] = pd.Series([], dtype="float64")
+            g[cume_name] = pd.Series([], dtype="float64")
+            return from_pandas_clean(g)
+        kv = g[key].to_numpy()
+        kchange = np.ones(n, dtype=bool)
+        kchange[1:] = kv[1:] != kv[:-1]
+        first = kchange.copy()  # new (key, order-tuple) run starts here
+        for c in order_cols:
+            v = g[c].to_numpy()
+            first[1:] |= v[1:] != v[:-1]
+        seq = g.groupby(key, sort=False).cumcount().to_numpy(np.int64)
+        cnt = g.groupby(key, sort=False)[key].transform("size").to_numpy(np.int64)
+        run_id = np.cumsum(first) - 1            # global run counter, 0-based
+        rank = seq[first][run_id] + 1            # run-start row number per key
+        # run END row number per key: the seq of the last row in each run
+        last = np.empty(n, dtype=bool)
+        last[:-1] = first[1:]
+        last[-1] = True
+        run_end_seq = seq[last][run_id] + 1      # rows ordered ≤ current
+        pct = np.where(cnt > 1, (rank - 1) / np.maximum(cnt - 1, 1), 0.0)
+        g[pct_name] = pct.astype(np.float64)
+        g[cume_name] = run_end_seq / cnt
+        return from_pandas_clean(g)
+
+    return bucketed.groupby("__bucket").map_groups(_pct, batch_format="pandas")
+
+
+def _hash_col_u64(col) -> np.ndarray:
+    """uint64 hashes for a key column: Fibonacci+xorshift mix for integer
+    dtypes (no string round-trip), siphash otherwise — the same families
+    the bucketing helpers use."""
+    arr = np.asarray(col)
+    if arr.dtype.kind in "iu":
+        k = arr.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        k ^= k >> np.uint64(29)
+        k *= np.uint64(0xBF58476D1CE4E5B9)
+        k ^= k >> np.uint64(32)
+        return k
+    return url_hash_batch([str(v) for v in col])
+
+
+def bloom_of_keys(
+    ds: Dataset, key: str, n_bits: int = 1 << 23, n_hashes: int = 4
+) -> np.ndarray:
+    """Distributed bloom-filter build over ``ds[key]``: each block emits ONE
+    fixed-size partial bitmap (the HLL combiner shape), a distributed
+    OR-merge round coalesces them 16-to-1 (partials are ``n_bits/8`` bytes
+    EACH — at 100 TB that is n_blocks MiB, too much for one driver pull),
+    and the driver ORs the ≤16 survivors.  ``n_bits`` must be a power of
+    two.  Returns the packed uint64 word array (``n_bits/64`` words)."""
+    assert n_bits & (n_bits - 1) == 0, "n_bits must be a power of two"
+    n_words = n_bits // 64
+    mask = np.uint64(n_bits - 1)
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        words = np.zeros(n_words, dtype=np.uint64)
+        h1 = _hash_col_u64(df[key].to_numpy())
+        h2 = (h1 >> np.uint64(17)) | np.uint64(1)  # odd → full-period probe
+        for i in range(n_hashes):
+            idx = (h1 + np.uint64(i) * h2) & mask
+            np.bitwise_or.at(
+                words, (idx >> np.uint64(6)).astype(np.int64),
+                np.uint64(1) << (idx & np.uint64(63)),
+            )
+        return pd.DataFrame({"words": [words]})
+
+    def _or_merge(df: pd.DataFrame) -> pd.DataFrame:
+        acc = np.zeros(n_words, dtype=np.uint64)
+        for w in df["words"]:
+            np.bitwise_or(acc, np.asarray(w, dtype=np.uint64), out=acc)
+        return pd.DataFrame({"words": [acc]})
+
+    partials = ds.select_columns([key]).map_batches(
+        _partial, batch_format="pandas", batch_size=None
+    )
+    merged = partials.repartition(16).map_batches(
+        _or_merge, batch_format="pandas", batch_size=None
+    )
+    rows = merged.take_all()  # ≤ 16 rows × n_bits/8 bytes
+    out = np.zeros(n_words, dtype=np.uint64)
+    for r in rows:
+        np.bitwise_or(out, np.asarray(r["words"], dtype=np.uint64), out=out)
+    return out
+
+
+def semi_join_bloom(
+    left: Dataset,
+    right: Dataset,
+    key: str,
+    n_bits: int = 1 << 23,
+    n_hashes: int = 4,
+    exact: bool = True,
+    n_buckets: int = 64,
+) -> Dataset:
+    """Bloom semi-join — the 100-TB pattern for ``left WHERE key IN right``
+    when the right side is too big to broadcast as a set but the LEFT side
+    is far bigger still: build a fixed-size bloom over right's keys
+    (``bloom_of_keys``), broadcast it once via ``ray.put``, prefilter left
+    per batch (no shuffle of either side), then — ``exact=True``, the
+    default — finish with the exact ``semi_join_shuffled`` on the few
+    surviving rows, so false positives cost only shuffle volume, never
+    correctness.  ``exact=False`` skips the verify (documented approximate:
+    FP rate ≈ (1 - e^(-kn/m))^k keeps non-matching rows)."""
+    import ray
+
+    words_ref = ray.put(bloom_of_keys(right, key, n_bits=n_bits, n_hashes=n_hashes))
+    mask = np.uint64(n_bits - 1)
+
+    class _Pre:
+        def __init__(self) -> None:
+            self._words = None
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if self._words is None:
+                from .util import cached_get
+
+                self._words = cached_get(words_ref)
+            h1 = _hash_col_u64(t[key].to_numpy(zero_copy_only=False))
+            h2 = (h1 >> np.uint64(17)) | np.uint64(1)
+            keep = np.ones(len(t), dtype=bool)
+            for i in range(n_hashes):
+                idx = (h1 + np.uint64(i) * h2) & mask
+                bit = (
+                    self._words[(idx >> np.uint64(6)).astype(np.int64)]
+                    >> (idx & np.uint64(63))
+                ) & np.uint64(1)
+                keep &= bit.astype(bool)
+            return t.filter(pa.array(keep))
+
+    pre = left.map_batches(_Pre(), batch_format="pyarrow")
+    if not exact:
+        return pre
+    return semi_join_shuffled(pre, right, key, n_buckets=n_buckets)
+
+
+def _merge_rank(
+    rk: np.ndarray, ro: np.ndarray, qk: np.ndarray, qv: np.ndarray, side: str
+) -> np.ndarray:
+    """For each query ``(qk[i], qv[i])``, the lexicographic-searchsorted
+    position into the (key, on)-sorted right arrays ``(rk, ro)`` — i.e.
+    the count of right rows with ``key < qk[i] OR (key == qk[i] AND
+    on <[=] qv[i])`` (``side='left'`` / ``'right'``).  np.searchsorted is
+    1-D-only, so this is the merge-path form: one stable lexsort of the
+    CONCATENATED rows+queries (queries ordered before equal right rows for
+    'left', after for 'right'), then each query's answer is the number of
+    right rows preceding it — a cumulative sum.  O((n+m) log(n+m)), fully
+    vectorized, no per-key Python."""
+    n, m = len(rk), len(qk)
+    tag = np.concatenate(
+        [np.zeros(n, dtype=np.int8), np.ones(m, dtype=np.int8)]
+    )
+    if side == "left":
+        tag = 1 - tag  # queries (now 0) sort before equal right rows
+    order = np.lexsort(
+        (tag, np.concatenate([ro, qv]), np.concatenate([rk, qk]))
+    )
+    is_right = order < n  # original index < n ⇒ a right row
+    n_right_before = np.cumsum(is_right) - is_right  # exclusive prefix count
+    pos = np.empty(n + m, dtype=np.int64)
+    pos[order] = n_right_before
+    return pos[n:]
+
+
+def interval_join(
+    left: Dataset,
+    right: Dataset,
+    left_key: str,
+    right_key: str,
+    left_on: str,
+    right_on: str,
+    lo: int,
+    hi: int,
+    payload_cols: list[str],
+    n_buckets: int = 64,
+    int_key: bool = True,
+) -> Dataset:
+    """Distributed banded interval (range) join: one output row per (left
+    row, right row) pair with equal keys and ``left_on + lo <= right_on <
+    left_on + hi`` — the SQL ``JOIN ... ON l.key = r.key AND r.on >= l.on +
+    lo AND r.on < l.on + hi`` shape (event-within-N-days-of-order).  Both
+    ``on`` columns must be integer-comparable (cast timestamps to int64
+    first).  Ray Data has no range join; this is the explicit partitioned
+    form: tag provenance, union, ONE hash shuffle on the key (whole keys
+    co-located per bucket), then per bucket sort the right side once by
+    (key, on) and resolve EVERY left row's band [start, end) with two
+    merge-path lexsorts (``_merge_rank``) — no per-key loop, no cross
+    product; output size is exactly the number of matching pairs.  Skew
+    note: a single hot key lands in one bucket; pre-split hot keys with a
+    salt + band-overlapped right replication if a key's rows exceed a
+    worker's heap (same caveat as asof_join)."""
+    lcols = list(left.schema().names)
+    clash = set(payload_cols) & set(lcols)
+    if clash:
+        raise ValueError(f"payload columns collide with left columns: {clash}")
+
+    def _arrow_schema(ds: Dataset) -> pa.Schema | None:
+        s = getattr(ds.schema(), "base_schema", None)
+        return s if isinstance(s, pa.Schema) else None
+
+    lbase = _arrow_schema(left)
+    rbase = _arrow_schema(right)
+    ptypes = {
+        p: (rbase.field(p).type if rbase is not None else pa.float64())
+        for p in payload_cols
+    }
+
+    def _tag_left(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        for p in payload_cols:
+            t = t.append_column(p, pa.nulls(len(t), type=ptypes[p]))
+        return t.append_column("__is_left", pa.array(np.ones(len(t), dtype=np.int8)))
+
+    def _tag_right(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        out = {left_key: t[right_key], left_on: t[right_on]}
+        for p in payload_cols:
+            out[p] = t[p]
+        r = pa.table(out)
+        for name in lcols:
+            if name not in r.column_names:
+                typ = lbase.field(name).type if lbase is not None else pa.null()
+                r = r.append_column(name, pa.nulls(len(t), type=typ))
+        r = r.select([*lcols, *payload_cols])
+        return r.append_column("__is_left", pa.array(np.zeros(len(t), dtype=np.int8)))
+
+    lt = left.map_batches(_tag_left, batch_format="pyarrow")
+    rt = right.select_columns([right_key, right_on, *payload_cols]).map_batches(
+        _tag_right, batch_format="pyarrow"
+    )
+    bucket = add_hash_bucket_int if int_key else add_hash_bucket
+    both = bucket(lt.union(rt), left_key, n_buckets)
+    out_cols = [*lcols, *payload_cols]
+
+    def _band(g: pa.Table) -> pa.Table:
+        is_left = pc.equal(g["__is_left"], 1)
+        lf = g.filter(is_left).drop_columns(["__bucket", "__is_left", *payload_cols])
+        rf = g.filter(pc.invert(is_left)).select([left_key, left_on, *payload_cols])
+        if lf.num_rows == 0 or rf.num_rows == 0:
+            empty = {c: lf[c].take(pa.array([], pa.int64())) for c in lf.column_names}
+            for p in payload_cols:
+                empty[p] = pa.chunked_array([pa.array([], type=ptypes[p])])
+            return pa.table(empty).select(out_cols)
+        rk = rf[left_key].to_numpy(zero_copy_only=False)
+        ro = rf[left_on].to_numpy(zero_copy_only=False)
+        rorder = np.lexsort((ro, rk))
+        rk, ro = rk[rorder], ro[rorder]
+        qk = lf[left_key].to_numpy(zero_copy_only=False)
+        qon = lf[left_on].to_numpy(zero_copy_only=False)
+        start = _merge_rank(rk, ro, qk, qon + lo, side="left")
+        end = _merge_rank(rk, ro, qk, qon + hi, side="left")
+        counts = end - start
+        tot = int(counts.sum())
+        lrep = np.repeat(np.arange(len(qk), dtype=np.int64), counts)
+        within = np.arange(tot, dtype=np.int64) - np.repeat(
+            np.cumsum(counts) - counts, counts
+        )
+        ridx = start[lrep] + within
+        lout = lf.take(pa.array(lrep))
+        cols = {c: lout[c] for c in lf.column_names}
+        rsorted = rf.take(pa.array(rorder))
+        for p in payload_cols:
+            cols[p] = rsorted[p].take(pa.array(ridx))
+        return pa.table(cols).select(out_cols)
+
+    return both.groupby("__bucket").map_groups(_band, batch_format="pyarrow")
+
+
+def grouped_string_agg(
+    ds: Dataset,
+    key: str,
+    val: str,
+    order_col: str,
+    sep: str = "|",
+    out_name: str = "agg",
+    n_buckets: int = 64,
+    int_key: bool = True,
+) -> Dataset:
+    """SQL ``string_agg(val, sep ORDER BY order_col) GROUP BY key``: one
+    concatenated string per key, element order fixed by ``order_col`` so
+    the result is deterministic (the unordered SQL form is not).  One
+    bucketed shuffle; per bucket a single stable sort + pandas groupby
+    join.  Scale note: each key's output row holds ALL its values — this
+    is for bounded-cardinality groups (names per nation, tags per doc);
+    an unbounded group would need a size cap upstream."""
+    bucket = add_hash_bucket_int if int_key else add_hash_bucket
+    bucketed = bucket(ds.select_columns([key, val, order_col]), key, n_buckets)
+
+    def _agg(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values([key, order_col], kind="mergesort")
+        out = (
+            g.groupby(key, sort=False)[val]
+            .agg(lambda s: sep.join(s.astype(str)))
+            .reset_index(name=out_name)
+        )
+        return from_pandas_clean(out)
+
+    return bucketed.groupby("__bucket").map_groups(_agg, batch_format="pandas")

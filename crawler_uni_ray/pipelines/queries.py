@@ -1645,3 +1645,474 @@ def orders_spend_quartiles(sf_dir: str) -> pd.DataFrame:
         .sort_values("o_orderkey")
         .reset_index(drop=True)
     )
+
+
+def customers_urgent_order_counts(sf_dir: str) -> pd.DataFrame:
+    """LEFT OUTER JOIN with zero-fill (``customer LEFT JOIN orders [filtered]
+    GROUP BY``): per customer, the count and exact cent-sum of its 1-URGENT
+    orders — 0/0 for customers with none (the null-extended rows).  Physical
+    plan: the right side is filtered + pre-aggregated to per-key partials
+    PER BATCH (the combiner shape), tagged-unioned with the slim left keys,
+    then ONE hash(custkey) shuffle finishes the merge — left keys absent
+    from the right get zeros in-bucket, so no null-extension rows ever
+    materialize.  All outputs int64 (cents quantized per batch): zero float
+    risk in the driver hash."""
+    from ..ops import add_hash_bucket_int
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+
+    def _left(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"c_custkey": t["c_custkey"].to_numpy()})
+        df["n_urgent"] = np.int64(0)
+        df["urgent_cents"] = np.int64(0)
+        df["__is_left"] = np.int8(1)
+        return from_pandas_clean(df)
+
+    orders = _read(
+        sf_dir, "orders", columns=["o_custkey", "o_totalprice", "o_orderpriority"]
+    )
+
+    def _right_partial(t: pa.Table) -> pa.Table:
+        m = pc.equal(t["o_orderpriority"], pa.scalar("1-URGENT"))
+        t = t.filter(m)
+        cents = np.floor(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100 + 0.5
+        ).astype(np.int64)
+        df = pd.DataFrame({"c_custkey": t["o_custkey"].to_numpy(), "cents": cents})
+        g = df.groupby("c_custkey", as_index=False).agg(
+            n_urgent=("cents", "size"), urgent_cents=("cents", "sum")
+        )
+        g["n_urgent"] = g["n_urgent"].astype("int64")
+        g["__is_left"] = np.int8(0)
+        return from_pandas_clean(
+            g[["c_custkey", "n_urgent", "urgent_cents", "__is_left"]]
+        )
+
+    both = cust.map_batches(_left, batch_format="pyarrow").union(
+        orders.map_batches(_right_partial, batch_format="pyarrow")
+    )
+
+    def _merge(g: pd.DataFrame) -> pa.Table:
+        g = g.drop(columns="__bucket")
+        left_keys = g.loc[g["__is_left"] == 1, ["c_custkey"]].drop_duplicates()
+        rp = g[g["__is_left"] == 0]
+        agg = rp.groupby("c_custkey", as_index=False).agg(
+            n_urgent=("n_urgent", "sum"), urgent_cents=("urgent_cents", "sum")
+        )
+        out = left_keys.merge(agg, on="c_custkey", how="left")
+        out["n_urgent"] = out["n_urgent"].fillna(0).astype("int64")
+        out["urgent_cents"] = out["urgent_cents"].fillna(0).astype("int64")
+        return from_pandas_clean(out)
+
+    out = (
+        add_hash_bucket_int(both, "c_custkey", 64)
+        .groupby("__bucket")
+        .map_groups(_merge, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+def activity_full_outer(sf_dir: str) -> pd.DataFrame:
+    """FULL OUTER JOIN (event activity ⋈ order activity on user/customer
+    id): per id the event count and order count, zero-filled on whichever
+    side is absent — ids 150+ order but never appear in events at these
+    scales, so the null-extended branch is genuinely exercised.  Physical
+    plan: per-batch partial counts on BOTH sides (combiner), tagged union,
+    ONE hash(id) shuffle; each bucket emits the UNION of its key sets with
+    per-side sums (missing side → 0).  Output is all-int64."""
+    from ..ops import add_hash_bucket_int
+
+    events = _read(sf_dir, "events", columns=["user_id"])
+    orders = _read(sf_dir, "orders", columns=["o_custkey"])
+
+    def _partial(col: str, side: int):
+        def f(t: pa.Table) -> pa.Table:
+            df = pd.DataFrame({"id": t[col].to_numpy()})
+            g = df.groupby("id", as_index=False).agg(n=("id", "size"))
+            g["n"] = g["n"].astype("int64")
+            g["__side"] = np.int8(side)
+            return from_pandas_clean(g)
+
+        return f
+
+    both = events.map_batches(_partial("user_id", 0), batch_format="pyarrow").union(
+        orders.map_batches(_partial("o_custkey", 1), batch_format="pyarrow")
+    )
+
+    def _outer(g: pd.DataFrame) -> pa.Table:
+        g = g.drop(columns="__bucket")
+        piv = g.groupby(["id", "__side"], as_index=False)["n"].sum()
+        e = piv[piv["__side"] == 0].set_index("id")["n"]
+        o = piv[piv["__side"] == 1].set_index("id")["n"]
+        ids = piv["id"].drop_duplicates().to_numpy()
+        out = pd.DataFrame({"id": ids})
+        out["n_events"] = out["id"].map(e).fillna(0).astype("int64")
+        out["n_orders"] = out["id"].map(o).fillna(0).astype("int64")
+        return from_pandas_clean(out)
+
+    out = (
+        add_hash_bucket_int(both, "id", 64)
+        .groupby("__bucket")
+        .map_groups(_outer, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("id").reset_index(drop=True)
+
+
+def orders_above_cust_avg(sf_dir: str) -> pd.DataFrame:
+    """Correlated scalar subquery (``WHERE price > (SELECT AVG … same
+    customer)``), decorrelated the scale way: ONE hash(custkey) shuffle;
+    each bucket computes its customers' exact (count, cent-sum) and filters
+    with the INTEGER cross-multiplication ``cents·n > sum_cents`` — strictly
+    above average with zero float division anywhere, so the comparison can't
+    straddle an ulp on either engine."""
+    from ..ops import add_hash_bucket_int
+
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def _cents(t: pa.Table) -> pa.Table:
+        c = np.floor(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100 + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "o_custkey": t["o_custkey"],
+                "cents": pa.array(c),
+            }
+        )
+
+    def _above(g: pd.DataFrame) -> pa.Table:
+        grp = g.groupby("o_custkey", sort=False)["cents"]
+        n = grp.transform("size").to_numpy(np.int64)
+        s = grp.transform("sum").to_numpy(np.int64)
+        keep = g["cents"].to_numpy(np.int64) * n > s
+        return from_pandas_clean(
+            g.loc[keep, ["o_orderkey", "o_custkey"]]
+        )
+
+    out = (
+        add_hash_bucket_int(
+            ds.map_batches(_cents, batch_format="pyarrow"), "o_custkey", 64
+        )
+        .groupby("__bucket")
+        .map_groups(_above, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+def orders_price_percentiles(sf_dir: str) -> pd.DataFrame:
+    """Analytic PERCENT_RANK + CUME_DIST: each order's relative price
+    position within its customer ((o_totalprice DESC, o_orderkey) order).
+    One bucketed shuffle + run-boundary arithmetic (ops.grouped_pct_rank);
+    both outputs are one IEEE division of exact int64 counts — bit-identical
+    to the SQL definitions."""
+    from ..ops import grouped_pct_rank
+
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_totalprice"])
+    out = grouped_pct_rank(
+        ds, key="o_custkey", order_cols=["o_totalprice", "o_orderkey"],
+        descending=[True, False], pct_name="pct_rank", cume_name="cume_dist",
+    ).to_pandas()
+    return (
+        out[["o_custkey", "o_orderkey", "pct_rank", "cume_dist"]]
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+
+
+def events_top_type_per_day(sf_dir: str) -> pd.DataFrame:
+    """Per-group MODE (most frequent value) with a deterministic
+    lexicographic tie-break: each day's dominant event type.  Scale shape:
+    aggregate at the finest grain first (per-batch partial counts →
+    distributed (day, type) sum — the grouping-sets lesson), then the
+    argmax runs over the driver-sized days × types frame."""
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        ts = df["ts"]
+        ymd = (
+            ts.dt.year.to_numpy(np.int64) * 10000
+            + ts.dt.month.to_numpy(np.int64) * 100
+            + ts.dt.day.to_numpy(np.int64)
+        )
+        g = (
+            pd.DataFrame({"ymd": ymd, "event_type": df["event_type"]})
+            .groupby(["ymd", "event_type"], as_index=False)
+            .agg(n=("ymd", "size"))
+        )
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    counts = (
+        ds.map_batches(_partial, batch_format="pandas")
+        .groupby(["ymd", "event_type"])
+        .aggregate(Sum("n", alias_name="n_events"))
+        .to_pandas()
+    )
+    counts["n_events"] = counts["n_events"].astype("int64")
+    top = (
+        counts.sort_values(
+            ["ymd", "n_events", "event_type"], ascending=[True, False, True]
+        )
+        .groupby("ymd", as_index=False)
+        .first()
+        .rename(columns={"event_type": "top_type"})
+    )
+    return (
+        top[["ymd", "top_type", "n_events"]]
+        .sort_values("ymd")
+        .reset_index(drop=True)
+    )
+
+
+def repeat_customers(sf_dir: str, min_orders: int = 18) -> pd.DataFrame:
+    """GROUP BY + HAVING (filter on the aggregate): customers with ≥ 18
+    orders.  Ray pre-aggregates Count per block internally; the HAVING is a
+    map_batches filter over the aggregate's (tiny) output — the aggregate
+    value itself is data once the groupby finishes."""
+    ds = _read(sf_dir, "orders", columns=["o_custkey"])
+    agg = ds.groupby("o_custkey").aggregate(Count(alias_name="n_orders"))
+
+    def _having(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t["n_orders"], pa.scalar(min_orders)))
+
+    out = agg.map_batches(_having, batch_format="pyarrow").to_pandas()
+    out = _ensure_cols(out, {"o_custkey": "int64", "n_orders": "int64"})
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return out.sort_values("o_custkey").reset_index(drop=True)
+
+
+def customer_name_features(sf_dir: str) -> pd.DataFrame:
+    """Scalar string-function coverage (UPPER / LENGTH / REVERSE /
+    SUBSTRING / concatenation) as pure zero-copy pyarrow.compute kernels —
+    no pandas, no Python loop; the batch never leaves Arrow."""
+    ds = _read(
+        sf_dir, "customer", columns=["c_custkey", "c_name", "c_mktsegment", "c_nationkey"]
+    )
+
+    def _feat(t: pa.Table) -> pa.Table:
+        name = t["c_name"]
+        return pa.table(
+            {
+                "c_custkey": t["c_custkey"],
+                "name_upper": pc.utf8_upper(name),
+                "name_len": pc.cast(pc.utf8_length(name), pa.int64()),
+                "name_rev": pc.utf8_reverse(name),
+                "name_prefix": pc.utf8_slice_codeunits(name, start=0, stop=8),
+                "seg_tag": pc.binary_join_element_wise(
+                    t["c_mktsegment"],
+                    pc.cast(t["c_nationkey"], pa.string()),
+                    "#",
+                ),
+            }
+        )
+
+    out = ds.map_batches(_feat, batch_format="pyarrow").to_pandas()
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+def orders_spend_variance(sf_dir: str) -> pd.DataFrame:
+    """Grouped exact sample VARIANCE via integer moments: per customer,
+    ``(n·Σc² − (Σc)²) / (n·(n−1))`` over exact int64 cents.  Float
+    determinism the hard way: Σc² overflows int64, so each bucket sums the
+    squares in arbitrary-precision Python ints (object dtype — groups are
+    driver-thin after ONE hash(custkey) shuffle; a 100-TB run would carry
+    (hi, lo) int64 limb pairs through a combiner instead, same algebra) and
+    performs exactly two float conversions + one IEEE division — matching
+    the oracle's HUGEINT → DOUBLE cast sequence bit-for-bit."""
+    from ..ops import add_hash_bucket_int
+
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def _cents(t: pa.Table) -> pa.Table:
+        c = np.floor(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100 + 0.5
+        ).astype(np.int64)
+        return pa.table({"o_custkey": t["o_custkey"], "cents": pa.array(c)})
+
+    def _var(g: pd.DataFrame) -> pa.Table:
+        c = g["cents"].to_numpy(np.int64)
+        sq = pd.Series([int(x) * int(x) for x in c], index=g.index, dtype=object)
+        df = pd.DataFrame({"o_custkey": g["o_custkey"], "s": c, "q": sq})
+        agg = df.groupby("o_custkey").agg(
+            n_orders=("s", "size"), s=("s", "sum"), q=("q", "sum")
+        )
+        agg = agg[agg["n_orders"] > 1]
+        if len(agg) == 0:
+            return from_pandas_clean(
+                pd.DataFrame(
+                    {
+                        "o_custkey": pd.Series([], dtype="int64"),
+                        "n_orders": pd.Series([], dtype="int64"),
+                        "var_cents2": pd.Series([], dtype="float64"),
+                    }
+                )
+            )
+        n = agg["n_orders"].to_numpy(np.int64)
+        num = agg["n_orders"].astype(object) * agg["q"] - (
+            agg["s"].astype(object) * agg["s"].astype(object)
+        )
+        var = np.fromiter((float(v) for v in num), dtype=np.float64, count=len(num))
+        var /= (n * (n - 1)).astype(np.float64)
+        out = pd.DataFrame(
+            {
+                "o_custkey": agg.index.to_numpy(np.int64),
+                "n_orders": n,
+                "var_cents2": var,
+            }
+        )
+        return from_pandas_clean(out)
+
+    out = (
+        add_hash_bucket_int(
+            ds.map_batches(_cents, batch_format="pyarrow"), "o_custkey", 64
+        )
+        .groupby("__bucket")
+        .map_groups(_var, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("o_custkey").reset_index(drop=True)
+
+
+def events_value_quantiles_approx(sf_dir: str) -> pd.DataFrame:
+    """Approximate per-type quantiles of the CONTINUOUS ``value`` column
+    via the mergeable weighted-subsample summary (functions/sketch.py):
+    per-batch per-key ε-bounded summaries → one groupby merge — wire volume
+    is n_blocks × (1/ε+1) samples regardless of input size, and the exact
+    histogram plan (ops.grouped_quantiles_disc) wouldn't apply because the
+    value domain is unbounded.  Rank error ≤ ε·n (tests bound it);
+    approximate by construction → rows-only driver check, deterministic
+    (ties in the merged sample order share the same value)."""
+    from ..functions.sketch import approx_quantiles_by
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    return approx_quantiles_by(
+        ds, "event_type", "value", qs=[0.5, 0.9, 0.99], eps=0.005
+    )
+
+
+def events_click_attribution(sf_dir: str) -> pd.DataFrame:
+    """Banded interval (range) join + aggregate — the attribution-window
+    shape: per click event, the count and exact cent-sum of the SAME
+    user's purchases inside [click_ts, click_ts + 1 day).  Ray Data has
+    no range join — ops.interval_join is the explicit partitioned form
+    (ONE hash(key) shuffle, per bucket a single right-side sort + two
+    merge-path lexsorts resolve every left row's band; output ∝ matching
+    pairs, never |L|×|R| per key).  Both ``on`` columns are cast to int64
+    µs up front; purchase values quantize to int64 cents per batch, so
+    the aggregate is integer-exact.  (Self-join on one table, but the two
+    sides are independently filtered/projected streams — the operator is
+    exercised exactly as with two tables.)"""
+    from ..ops import interval_join
+
+    events = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type", "value"])
+
+    def _clicks(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], pa.scalar("click")))
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "ts_us": pc.cast(t["ts"], pa.int64()),
+            }
+        )
+
+    def _purchases(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], pa.scalar("purchase")))
+        cents = np.floor(
+            t["value"].to_numpy(zero_copy_only=False) * 100 + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "p_user": t["user_id"],
+                "p_ts_us": pc.cast(t["ts"], pa.int64()),
+                "cents": pa.array(cents),
+            }
+        )
+
+    pairs = interval_join(
+        events.map_batches(_clicks, batch_format="pyarrow"),
+        events.map_batches(_purchases, batch_format="pyarrow"),
+        left_key="user_id",
+        right_key="p_user",
+        left_on="ts_us",
+        right_on="p_ts_us",
+        lo=0,
+        hi=86_400 * 10**6,
+        payload_cols=["cents"],
+    )
+    out = (
+        pairs.groupby("event_id")
+        .aggregate(
+            Count(alias_name="n_purchases"), Sum("cents", alias_name="value_cents")
+        )
+        .to_pandas()
+    )
+    out = _ensure_cols(
+        out,
+        {"event_id": "int64", "n_purchases": "int64", "value_cents": "int64"},
+    )
+    out["n_purchases"] = out["n_purchases"].astype("int64")
+    out["value_cents"] = out["value_cents"].astype("int64")
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def orders_from_event_users(sf_dir: str) -> pd.DataFrame:
+    """Bloom semi-join (``WHERE o_custkey IN (SELECT user_id FROM
+    events)``) driven end-to-end through the driver's hash gate: a
+    fixed-size bloom over the right keys broadcast once prefilters orders
+    per batch with NO shuffle of either full side; the exact shuffled
+    semi-join then runs only over the (small) surviving fraction — bloom
+    false positives cost shuffle volume, never correctness.  The 100-TB
+    ``IN``-filter shape when the right side is too big to broadcast as a
+    set."""
+    from ..ops import semi_join_bloom
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    events = _read(sf_dir, "events", columns=["user_id"])
+
+    def _rename(t: pa.Table) -> pa.Table:
+        return pa.table({"o_custkey": t["user_id"]})
+
+    out = semi_join_bloom(
+        orders,
+        events.map_batches(_rename, batch_format="pyarrow"),
+        "o_custkey",
+        n_bits=1 << 20,
+    ).to_pandas()
+    out = _ensure_cols(out, {"o_orderkey": "int64", "o_custkey": "int64"})
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+def nation_customer_names(sf_dir: str) -> pd.DataFrame:
+    """SQL ``string_agg(val, sep ORDER BY ...)``: per nation, the
+    '|'-joined customer names in c_custkey order (the ordered form is the
+    deterministic one).  One bucketed shuffle + per-bucket stable sort
+    (ops.grouped_string_agg); group payloads are bounded (≤ customers per
+    nation)."""
+    from ..ops import grouped_string_agg
+
+    cust = _read(sf_dir, "customer", columns=["c_nationkey", "c_name", "c_custkey"])
+    out = grouped_string_agg(
+        cust, key="c_nationkey", val="c_name", order_col="c_custkey",
+        sep="|", out_name="names",
+    ).to_pandas()
+    return out.sort_values("c_nationkey").reset_index(drop=True)
+
+
+def docs_top_terms_approx(sf_dir: str) -> pd.DataFrame:
+    """Approximate heavy-hitter terms via the mergeable Misra-Gries
+    summary (functions/sketch.py): per-batch exact counts compressed to k
+    entries → driver merge of n_blocks × k rows — the vocabulary never
+    shuffles (text.top_terms pays that groupby; this is the
+    head-of-distribution-only scale path).  Guarantee carried in the
+    output: true count ∈ [n_est, n_est + err_bound], and every term with
+    true count > err_bound is present.  Approximate by construction →
+    rows-only driver check (deterministic for a fixed blocking)."""
+    from ..functions.sketch import heavy_hitters_approx
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    return heavy_hitters_approx(ds, text_col="text", k=128, top=25)

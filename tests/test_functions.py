@@ -726,3 +726,98 @@ def test_approx_distinct_by_matches_exact_within_tolerance(ray_session):
     for k, n in exact.items():
         rel = abs(out.loc[k, "n_approx"] - n) / max(n, 1)
         assert rel < 0.05, (k, n, out.loc[k, "n_approx"])
+
+
+def test_quantile_summary_error_bound_and_merge():
+    import numpy as np
+
+    from crawler_uni_ray.functions.sketch import (
+        quantile_query,
+        quantile_summary_batch,
+        quantile_summary_merge,
+    )
+
+    rng = np.random.default_rng(11)
+    data = rng.normal(0, 100, 50_000)
+    eps = 0.01
+    # split into uneven parts, summarize each, merge
+    parts = np.array_split(data, [7_000, 19_000, 33_000])
+    merged = quantile_summary_merge(
+        [quantile_summary_batch(p, eps) for p in parts]
+    )
+    srt = np.sort(data)
+    n = len(data)
+    for q in (0.01, 0.25, 0.5, 0.9, 0.99):
+        est = quantile_query(merged[0], merged[1], [q])[0]
+        true_rank = np.searchsorted(srt, est, side="right")
+        assert abs(true_rank - q * n) <= eps * n + 1, (q, est, true_rank)
+    # merge of parts ≡ single-part summary in answer quality AND the
+    # merged answer is deterministic under a different part order
+    merged2 = quantile_summary_merge(
+        [quantile_summary_batch(p, eps) for p in reversed(parts)]
+    )
+    a1 = quantile_query(merged[0], merged[1], [0.5, 0.9])
+    a2 = quantile_query(merged2[0], merged2[1], [0.5, 0.9])
+    assert a1 == a2
+
+
+def test_approx_quantiles_by_close_to_exact(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from crawler_uni_ray.functions.sketch import approx_quantiles_by
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame(
+        {
+            "k": np.repeat(["a", "b", "c"], 20_000),
+            "v": rng.exponential(10, 60_000),
+        }
+    )
+    out = approx_quantiles_by(
+        rd.from_pandas(df), "k", "v", qs=[0.5, 0.99], eps=0.01
+    )
+    for _, row in out.iterrows():
+        sub = np.sort(df.loc[df["k"] == row["k"], "v"].to_numpy())
+        n = len(sub)
+        for q, cname in ((0.5, "q0_5"), (0.99, "q0_99")):
+            rank = np.searchsorted(sub, row[cname], side="right")
+            assert abs(rank - q * n) <= 0.01 * n + 1
+
+
+def test_misra_gries_guarantees(ray_session):
+    """MG summary invariants on a skewed corpus: every term with true
+    count > err_bound is present, and each estimate brackets the truth:
+    n_est <= true <= n_est + err_bound."""
+    import numpy as np
+    import ray.data as rd
+
+    from crawler_uni_ray.functions.sketch import heavy_hitters_approx
+
+    rng = np.random.default_rng(4)
+    vocab = [f"w{i}" for i in range(400)]
+    # zipf-ish skew: head words dominate
+    probs = 1.0 / np.arange(1, 401) ** 1.3
+    probs /= probs.sum()
+    docs = [
+        " ".join(rng.choice(vocab, size=120, p=probs)) for _ in range(300)
+    ]
+    true = {}
+    for d in docs:
+        for w in d.split():
+            true[w] = true.get(w, 0) + 1
+    n_total = sum(true.values())
+    # top=k keeps the WHOLE summary — the containment guarantee is about
+    # the summary, not a truncated head
+    out = heavy_hitters_approx(
+        rd.from_items([{"text": d} for d in docs]), k=64, top=64
+    )
+    err = int(out["err_bound"].iloc[0])
+    assert int(out["n_tokens_total"].iloc[0]) == n_total
+    est = dict(zip(out["term"], out["n_est"]))
+    for t, c in true.items():
+        if c > err:
+            assert t in est, (t, c, err)
+    for t, e in est.items():
+        assert e <= true[t] <= e + err, (t, e, true[t], err)

@@ -461,3 +461,43 @@ def test_pin_embeddings_ann_ivf(ray_session):
         )
     want = pd.DataFrame(rows, columns=["query_id", "neighbor_id", "cosine", "rnk"])
     _eq(got, want)
+
+
+def test_pin_docs_top_terms_approx(ray_session, docs):
+    """At sf0.001 the synthetic vocabulary (~31 terms) is far below the
+    MG summary size k=128, so NO compression ever fires: err_bound must
+    be exactly 0 and the 'approximate' counts must equal the exact
+    token counts — a hard pin.  (The error machinery itself is bounded
+    on a 400-term zipf corpus in test_functions.py.)"""
+    got = Q.docs_top_terms_approx(SF)
+    from collections import Counter
+
+    c = Counter()
+    for t in docs["text"]:
+        c.update(w.lower() for w in ftext.TOKEN_RE.findall(t or ""))
+    want = (
+        pd.DataFrame({"term": list(c.keys()), "n_est": list(c.values())})
+        .sort_values(["n_est", "term"], ascending=[False, True], kind="mergesort")
+        .head(25)
+        .reset_index(drop=True)
+    )
+    assert (got["err_bound"] == 0).all()
+    assert int(got["n_tokens_total"].iloc[0]) == sum(c.values())
+    _eq(got[["term", "n_est"]], want)
+
+
+def test_pin_events_value_quantiles_approx(ray_session):
+    """Per-type approximate quantiles of events.value pinned to the
+    summary's rank guarantee against the EXACT sorted column: each
+    reported value's true within-type rank is within eps*n of ceil(q*n)
+    (eps=0.005 as the query sets)."""
+    got = Q.events_value_quantiles_approx(SF)
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["event_type", "value"])
+    for _, row in got.iterrows():
+        sub = np.sort(ev.loc[ev["event_type"] == row["event_type"], "value"].to_numpy())
+        n = len(sub)
+        for q, cname in ((0.5, "q0_5"), (0.9, "q0_9"), (0.99, "q0_99")):
+            rank = np.searchsorted(sub, row[cname], side="right")
+            assert abs(rank - np.ceil(q * n)) <= 0.005 * n + 1, (
+                row["event_type"], q, row[cname], rank, n,
+            )

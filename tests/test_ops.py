@@ -386,3 +386,207 @@ def test_grouped_ntile_matches_duckdb(ray_session):
         "SELECT o, NTILE(4) OVER (PARTITION BY k ORDER BY o) AS t FROM df ORDER BY o"
     ).df()
     assert list(out["t"].astype("int64")) == list(want["t"].astype("int64"))
+
+
+def test_grouped_pct_rank_matches_duckdb(ray_session):
+    """PERCENT_RANK/CUME_DIST with ties: run-shared ranks, (rank-1)/(n-1),
+    run-end/n — bit-compared against DuckDB's window functions."""
+    import duckdb
+    import numpy as np
+    import ray.data as rd
+
+    from crawler_uni_ray.ops import grouped_pct_rank
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 9, 400),
+            "v": rng.integers(0, 6, 400),  # heavy ties within keys
+            "id": np.arange(400),
+        }
+    )
+    out = (
+        grouped_pct_rank(
+            rd.from_pandas(df), key="k", order_cols=["v"], descending=[True],
+        )
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    duck = duckdb.query(
+        """
+        SELECT k, v, id,
+               PERCENT_RANK() OVER w AS pct_rank,
+               CUME_DIST() OVER w AS cume_dist
+        FROM df WINDOW w AS (PARTITION BY k ORDER BY v DESC)
+        ORDER BY id
+        """
+    ).df()
+    pd.testing.assert_frame_equal(
+        out[["id", "pct_rank", "cume_dist"]],
+        duck[["id", "pct_rank", "cume_dist"]],
+        check_dtype=False,
+    )
+
+
+def test_grouped_pct_rank_single_row_partition(ray_session):
+    import ray.data as rd
+
+    from crawler_uni_ray.ops import grouped_pct_rank
+
+    df = pd.DataFrame({"k": [1, 2, 2], "v": [5, 1, 2]})
+    out = grouped_pct_rank(rd.from_pandas(df), key="k", order_cols=["v"]).to_pandas()
+    one = out[out["k"] == 1]
+    assert float(one["pct_rank"].iloc[0]) == 0.0  # SQL: n=1 → 0
+    assert float(one["cume_dist"].iloc[0]) == 1.0
+
+
+def test_semi_join_bloom_equals_exact(ray_session):
+    """Bloom prefilter + exact verify ≡ the pure shuffled semi-join, for
+    int and string keys; the approximate (exact=False) path is a superset
+    containing every true match."""
+    import ray.data as rd
+
+    from crawler_uni_ray.ops import semi_join_bloom, semi_join_shuffled
+
+    left = rd.from_items([{"url": f"u{i}", "x": i} for i in range(500)])
+    right = rd.from_items([{"url": f"u{i}"} for i in range(0, 500, 7)])
+    want = sorted(
+        semi_join_shuffled(left, right, "url", n_buckets=4).to_pandas()["url"]
+    )
+    got = semi_join_bloom(
+        left, right, "url", n_bits=1 << 12, n_hashes=4, n_buckets=4
+    ).to_pandas()
+    assert sorted(got["url"]) == want
+    assert set(got.columns) == {"url", "x"}
+    approx = semi_join_bloom(
+        left, right, "url", n_bits=1 << 12, n_hashes=4, exact=False
+    ).to_pandas()
+    assert set(want) <= set(approx["url"])  # FPs allowed, FNs never
+
+    ileft = rd.from_items([{"k": i, "x": i} for i in range(500)])
+    iright = rd.from_items([{"k": i} for i in range(0, 500, 9)])
+    iwant = sorted(
+        semi_join_shuffled(ileft, iright, "k", n_buckets=4).to_pandas()["k"]
+    )
+    igot = semi_join_bloom(
+        ileft, iright, "k", n_bits=1 << 12, n_buckets=4
+    ).to_pandas()
+    assert sorted(igot["k"]) == iwant
+
+
+def test_merge_rank_matches_per_key_searchsorted():
+    """interval_join's merge-path rank kernel ≡ per-key np.searchsorted
+    on random (key, on) data, both sides."""
+    import numpy as np
+
+    from crawler_uni_ray.ops import _merge_rank
+
+    rng = np.random.default_rng(3)
+    for _ in range(50):
+        n, m = int(rng.integers(0, 50)), int(rng.integers(1, 50))
+        rk = np.sort(rng.integers(0, 6, n))
+        ro = np.empty(n, dtype=np.int64)
+        for k in np.unique(rk):
+            msk = rk == k
+            ro[msk] = np.sort(rng.integers(0, 25, msk.sum()))
+        qk = rng.integers(0, 7, m)
+        qv = rng.integers(-3, 28, m).astype(np.int64)
+        for side in ("left", "right"):
+            got = _merge_rank(rk, ro, qk, qv, side)
+            want = np.array(
+                [
+                    np.searchsorted(rk, k, "left")
+                    + np.searchsorted(ro[rk == k], v, side)
+                    for k, v in zip(qk, qv)
+                ],
+                dtype=np.int64,
+            )
+            assert (got == want).all()
+
+
+def test_interval_join_matches_duckdb(ray_session):
+    """Banded range join pairs ≡ DuckDB's inequality join on random data,
+    including keys with no matches and bands matching nothing."""
+    import duckdb
+    import numpy as np
+    import ray.data as rd
+
+    from crawler_uni_ray.ops import interval_join
+
+    rng = np.random.default_rng(9)
+    lhs = pd.DataFrame(
+        {
+            "lid": np.arange(300, dtype=np.int64),
+            "k": rng.integers(0, 12, 300),
+            "t": rng.integers(0, 1000, 300),
+        }
+    )
+    rhs = pd.DataFrame(
+        {
+            "k2": rng.integers(0, 14, 800),
+            "t2": rng.integers(0, 1000, 800),
+            "pay": rng.integers(0, 100, 800),
+        }
+    )
+    got = (
+        interval_join(
+            rd.from_pandas(lhs),
+            rd.from_pandas(rhs),
+            left_key="k",
+            right_key="k2",
+            left_on="t",
+            right_on="t2",
+            lo=-5,
+            hi=20,
+            payload_cols=["pay"],
+            n_buckets=8,
+        )
+        .to_pandas()
+        .sort_values(["lid", "pay", "t"])
+        .reset_index(drop=True)
+    )
+    want = (
+        duckdb.query(
+            """
+            SELECT l.lid, l.k, l.t, r.pay
+            FROM lhs l JOIN rhs r
+              ON r.k2 = l.k AND r.t2 >= l.t - 5 AND r.t2 < l.t + 20
+            ORDER BY l.lid, r.pay, l.t
+            """
+        )
+        .df()
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    pd.testing.assert_frame_equal(
+        got[["lid", "k", "t", "pay"]], want[["lid", "k", "t", "pay"]],
+        check_dtype=False,
+    )
+
+
+def test_grouped_string_agg_matches_duckdb(ray_session):
+    import duckdb
+    import numpy as np
+    import ray.data as rd
+
+    from crawler_uni_ray.ops import grouped_string_agg
+
+    rng = np.random.default_rng(2)
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 7, 200),
+            "v": [f"name{i:03d}" for i in range(200)],
+            "o": np.arange(200)[::-1].copy(),
+        }
+    )
+    got = (
+        grouped_string_agg(rd.from_pandas(df), "k", "v", "o", sep=",", out_name="agg")
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    want = duckdb.query(
+        "SELECT k, string_agg(v, ',' ORDER BY o) AS agg FROM df GROUP BY k ORDER BY k"
+    ).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)

@@ -61,6 +61,8 @@ def test_sql_backed_query_matches_oracle(ray_session, name):
 
 ROWS_ONLY = [
     "events_users_approx",
+    "events_value_quantiles_approx",
+    "docs_top_terms_approx",
     "docs_langid",
     "docs_quality",
     "docs_token_counts",
