@@ -136,6 +136,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_from_event_users": q.orders_from_event_users,
         "nation_customer_names": q.nation_customer_names,
         "docs_top_terms_approx": q.docs_top_terms_approx,
+        # benchmark decontamination, stratified sampling, conversion
+        # funnel, SemDeDup (round 5)
+        "docs_decontaminate": q.docs_decontaminate,
+        "docs_stratified_sample": q.docs_stratified_sample,
+        "events_funnel": q.events_funnel,
+        "embeddings_semdedup": q.embeddings_semdedup,
     }
 
 
@@ -781,8 +787,78 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(c_name, '|' ORDER BY c_custkey) AS names
             FROM customer GROUP BY c_nationkey ORDER BY c_nationkey
         """,
+        # Benchmark decontamination: distinct 5-gram word-shingle overlap
+        # vs the doc_id%17=3 benchmark slice.  The engine compares 64-bit
+        # shingle hashes (broadcast set), the oracle joins shingle strings
+        # — equality coincides unless two distinct 5-grams collide in 64
+        # bits.  All hashed outputs are int64.
+        "docs_decontaminate": """
+            WITH tok AS (
+              SELECT doc_id, REGEXP_EXTRACT_ALL(LOWER(text), '[a-z]+') AS toks
+              FROM documents
+            ), sh AS (
+              SELECT DISTINCT doc_id, s FROM (
+                SELECT doc_id,
+                       UNNEST([array_to_string(toks[i:i+4], ' ')
+                               FOR i IN RANGE(1, LEN(toks)-3)]) AS s
+                FROM tok
+              )
+            ), bench AS (
+              SELECT DISTINCT s FROM sh WHERE doc_id % 17 = 3
+            ), hits AS (
+              SELECT c.doc_id, COUNT(*) AS n_overlap
+              FROM sh c JOIN bench b USING (s)
+              WHERE c.doc_id % 17 <> 3
+              GROUP BY c.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+                   CAST(CASE WHEN COALESCE(h.n_overlap, 0) > 0
+                        THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+            FROM documents d LEFT JOIN hits h USING (doc_id)
+            WHERE d.doc_id % 17 <> 3
+            ORDER BY d.doc_id
+        """,
+        # Stratified per-language sample: the multiplicative scramble is
+        # injective mod 2^32, so both engines pick the identical 20 docs
+        # per lang; integer arithmetic only.
+        "docs_stratified_sample": """
+            SELECT lang, doc_id FROM (
+                SELECT lang, doc_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY lang
+                           ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
+                       ) AS rn
+                FROM documents
+            ) WHERE rn <= 20 ORDER BY lang, doc_id
+        """,
+        # Ordered conversion funnel: stage k's cutoff is stage k-1's MIN
+        # qualifying time; 24 h windows, all comparisons on exact
+        # timestamps, outputs are counts.
+        "events_funnel": """
+            WITH s1 AS (
+                SELECT user_id, MIN(ts) AS t1 FROM events
+                WHERE event_type = 'signup' GROUP BY 1
+            ), s2 AS (
+                SELECT e.user_id, MIN(e.ts) AS t2
+                FROM events e JOIN s1 USING (user_id)
+                WHERE e.event_type = 'click'
+                  AND e.ts >= s1.t1 AND e.ts < s1.t1 + INTERVAL 24 HOUR
+                GROUP BY 1
+            ), s3 AS (
+                SELECT e.user_id, MIN(e.ts) AS t3
+                FROM events e JOIN s2 USING (user_id)
+                WHERE e.event_type = 'purchase'
+                  AND e.ts >= s2.t2 AND e.ts < s2.t2 + INTERVAL 24 HOUR
+                GROUP BY 1
+            )
+            SELECT '1_signup' AS stage, COUNT(*) AS n_users FROM s1
+            UNION ALL SELECT '2_click', COUNT(*) FROM s2
+            UNION ALL SELECT '3_purchase', COUNT(*) FROM s3
+            ORDER BY stage
+        """,
         # Remaining queries (fingerprint/minhash/simhash/LSH ANN/
-        # embedding-dup/crawl/media) are genuinely non-SQL-expressible
+        # embedding-dup/semdedup/crawl/media) are genuinely non-SQL-expressible
         # (iterative/probabilistic algorithms) → rows-only driver check,
         # each pinned to a hard local oracle in tests/test_local_oracles.py.
     }

@@ -267,6 +267,56 @@ def ann_ivf(
     return _ivf_search(indexed, order, qmat, query_ids, k, vec_col, id_col)
 
 
+def semdedup_keep_ids(
+    ds: Dataset,
+    n_clusters: int = 8,
+    tau: float = 0.35,
+    n_iters: int = 10,
+    seed: int = 7,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> pd.DataFrame:
+    """SemDeDup-style semantic dedup / diversity pruning (Abbas et al.
+    2023, arXiv:2303.09540): k-means cluster the L2-normalized embeddings,
+    then WITHIN each cluster greedily drop every vector whose cosine
+    similarity to an already-kept lower-id vector exceeds ``tau``.  The
+    published trick is that the quadratic compare is confined to single
+    clusters — cluster assignment is one broadcast ``map_batches`` pass
+    (centroids ``ray.put`` once), the prune is one ``groupby(cluster)``
+    shuffle whose group working set is a cluster, never the corpus.  At
+    near-dup thresholds (τ≈0.95+) this removes semantic duplicates; at
+    low τ it is a diversity filter.  Deterministic: seeded bounded-sample
+    k-means + id-ordered greedy keep.  Returns the kept ``(id, cluster)``
+    rows sorted by id."""
+    cent = kmeans_centroids(
+        ds, n_centroids=n_clusters, n_iters=n_iters, seed=seed,
+        vec_col=vec_col, id_col=id_col,
+    )
+    indexed = build_ivf_index(ds, cent, vec_col=vec_col, id_col=id_col)
+
+    def _prune(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col).reset_index(drop=True)
+        mat = _as_matrix(g[vec_col].to_numpy())  # normalized by build_ivf_index
+        keep: list[int] = []
+        for i in range(len(g)):
+            if keep and (mat[keep] @ mat[i] > tau).any():
+                continue
+            keep.append(i)
+        return pd.DataFrame(
+            {
+                id_col: g[id_col].to_numpy()[keep],
+                "cluster": g["ivf_list"].to_numpy()[keep].astype(np.int64),
+            }
+        )
+
+    out = (
+        indexed.groupby("ivf_list")
+        .map_groups(_prune, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(id_col).reset_index(drop=True)
+
+
 #: target rows a single index-writer group task materializes (its pandas
 #: frame ≈ this × (dim × 4 B + 8 B) heap, ~270 MB at 1M rows × 64 dims).
 INDEX_WRITER_ROWS_PER_GROUP = 1_000_000

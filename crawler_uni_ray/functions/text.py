@@ -398,6 +398,107 @@ def add_repetition_stats(ds: Dataset, id_col: str = "doc_id",
     return ds.map_batches(_f, batch_format="pandas")
 
 
+# ------------------------------------------------ benchmark decontamination
+
+_SHINGLE_WEIGHTS_CACHE: dict[int, np.ndarray] = {}
+
+
+def _shingle_weights(n: int) -> np.ndarray:
+    if n not in _SHINGLE_WEIGHTS_CACHE:
+        _SHINGLE_WEIGHTS_CACHE[n] = np.uint64(31) ** np.arange(n, dtype=np.uint64)
+    return _SHINGLE_WEIGHTS_CACHE[n]
+
+
+def shingle_hash_lists(texts: pd.Series, n: int = 5) -> list[np.ndarray]:
+    """Per-doc DISTINCT word-shingle (n consecutive ``[a-z]+`` tokens of the
+    lowercased text) hashes.  Token hashing is ONE vectorized siphash call
+    over the batch's token stream; each doc's windows combine with the same
+    uint64 polynomial as :func:`fingerprint_batch`, so equal shingle
+    STRINGS hash equal across docs, batches and processes.  Docs with
+    fewer than ``n`` tokens contribute no shingles (matches the SQL
+    ``RANGE(1, LEN(toks)-n+2)`` comprehension)."""
+    tok_lists = texts.str.lower().str.findall(r"[a-z]+").tolist()
+    empty = np.empty(0, dtype=np.uint64)
+    out: list[np.ndarray] = [empty] * len(tok_lists)
+    all_toks = [tok for toks in tok_lists for tok in toks]
+    if not all_toks:
+        return out
+    hashes = url_hash_batch(all_toks)
+    lens = np.fromiter((len(tk) for tk in tok_lists), np.int64, count=len(tok_lists))
+    offs = np.concatenate(([0], np.cumsum(lens)))
+    weights = _shingle_weights(n)
+    for i in range(len(tok_lists)):
+        h = hashes[offs[i] : offs[i + 1]]
+        if len(h) < n:
+            continue
+        mat = np.lib.stride_tricks.sliding_window_view(h, n)
+        win = (mat * weights).sum(axis=1, dtype=np.uint64)  # wraps mod 2^64
+        out[i] = np.unique(win)
+    return out
+
+
+def distinct_shingle_hashes(ds: Dataset, text_col: str = "text", n: int = 5) -> np.ndarray:
+    """DISTINCT shingle hashes of a BENCHMARK dataset, sorted, on the
+    driver: per-batch distinct partials stream back and merge with one
+    ``np.unique``.  Bounded by the benchmark's shingle vocabulary — the
+    decontamination contract is benchmark ≪ corpus (a benchmark the size
+    of the corpus would need the bucketed-join form instead)."""
+
+    def _p(df: pd.DataFrame) -> pd.DataFrame:
+        u = shingle_hash_lists(df[text_col], n)
+        flat = np.concatenate(u) if u else np.empty(0, np.uint64)
+        return pd.DataFrame({"sh": np.unique(flat)})
+
+    parts = [
+        b["sh"].to_numpy()
+        for b in ds.map_batches(_p, batch_format="pandas").iter_batches(
+            batch_format="pandas"
+        )
+    ]
+    if not parts:
+        return np.empty(0, dtype=np.uint64)
+    return np.unique(np.concatenate(parts))
+
+
+def add_contamination(
+    ds: Dataset,
+    bench_ref,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> Dataset:
+    """Per-doc count of DISTINCT shingles shared with the broadcast
+    benchmark shingle-hash set (``bench_ref``: a ``ray.put`` SORTED uint64
+    array, fetched once per worker via ``cached_get``).  Membership is one
+    batch-wide ``searchsorted`` + segment-sum — no shuffle; the whole
+    operator is embarrassingly parallel over the corpus."""
+    from ..util import cached_get
+
+    def _f(df: pd.DataFrame) -> pd.DataFrame:
+        bench = cached_get(bench_ref)
+        u = shingle_hash_lists(df[text_col], n)
+        lens = np.fromiter((len(x) for x in u), np.int64, count=len(u))
+        flat = np.concatenate(u) if u else np.empty(0, np.uint64)
+        if len(bench) and len(flat):
+            idx = np.searchsorted(bench, flat)
+            idx_c = np.minimum(idx, len(bench) - 1)
+            hit = (idx < len(bench)) & (bench[idx_c] == flat)
+        else:
+            hit = np.zeros(len(flat), dtype=bool)
+        ends = np.cumsum(lens)
+        csum = np.concatenate(([0], np.cumsum(hit)))
+        n_overlap = csum[ends] - csum[ends - lens]
+        return pd.DataFrame(
+            {
+                id_col: df[id_col].to_numpy(),
+                "n_overlap": n_overlap.astype(np.int64),
+                "contaminated": (n_overlap > 0).astype(np.int64),
+            }
+        )
+
+    return ds.map_batches(_f, batch_format="pandas")
+
+
 # ---------------------------------------------------------- normalization
 
 

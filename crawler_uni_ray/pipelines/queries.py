@@ -2116,3 +2116,156 @@ def docs_top_terms_approx(sf_dir: str) -> pd.DataFrame:
 
     ds = _read(sf_dir, "documents", columns=["text"])
     return heavy_hitters_approx(ds, text_col="text", k=128, top=25)
+
+
+def docs_decontaminate(sf_dir: str, n: int = 5) -> pd.DataFrame:
+    """Benchmark decontamination (the training-data hygiene pass): for
+    every corpus doc, the count of DISTINCT 5-gram word shingles it shares
+    with the benchmark slice (here ``doc_id % 17 == 3`` stands in for a
+    held-out eval set).  Scale: the benchmark is tiny by contract — its
+    distinct shingle hashes collect to the driver and broadcast ONCE
+    (``ray.put``); the corpus pass is one embarrassingly-parallel
+    ``map_batches`` with a batch-wide searchsorted membership — NO shuffle
+    anywhere.  Shingle equality is by 64-bit hash (vectorized siphash +
+    polynomial window combine); the oracle joins shingle strings — a
+    mismatch would need two distinct 5-grams colliding in 64 bits."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _split(bench: bool):
+        def _f(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy()
+            mask = (ids % 17 == 3) if bench else (ids % 17 != 3)
+            return t.filter(pa.array(mask))
+
+        return _f
+
+    bench_hashes = ftext.distinct_shingle_hashes(
+        docs.map_batches(_split(True), batch_format="pyarrow"), n=n
+    )
+    ref = ray.put(bench_hashes)
+    out = ftext.add_contamination(
+        docs.map_batches(_split(False), batch_format="pyarrow"), ref, n=n
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def docs_stratified_sample(sf_dir: str, cap: int = 20) -> pd.DataFrame:
+    """Per-language stratified sample: exactly ``cap`` docs per lang,
+    chosen by a deterministic multiplicative scramble of doc_id (the
+    SQL-reproducible stand-in for a seeded shuffle — (id·2654435761) mod
+    2³² is injective for id < 2³², so ordering by it IS a pseudo-random
+    permutation).  Physical plan mirrors orders_top3_per_cust: per-block
+    top-``cap`` per lang combiner (union-closed), then ONE
+    hash(lang)-bucketed shuffle finishes each stratum — shuffle volume ≤
+    cap × n_blocks rows per lang, never the table."""
+    from ..ops import add_hash_bucket
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def _key(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy().astype(np.int64)
+        sk = (ids * 2654435761) % 4294967296
+        return t.append_column("__sk", pa.array(sk))
+
+    def _local(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["lang", "__sk", "doc_id"], kind="mergesort")
+        return df.groupby("lang", sort=False).head(cap)
+
+    n_buckets = max(8, 4 * int(ray.cluster_resources().get("CPU", 8)))
+    bucketed = add_hash_bucket(
+        ds.map_batches(_key, batch_format="pyarrow")
+        .map_batches(_local, batch_format="pandas", zero_copy_batch=True),
+        "lang", n_buckets,
+    )
+
+    def _final(g: pd.DataFrame) -> pd.DataFrame:
+        return _local(g)[["lang", "doc_id"]]
+
+    out = (
+        bucketed.groupby("__bucket")
+        .map_groups(_final, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(["lang", "doc_id"]).reset_index(drop=True)
+
+
+def events_funnel(sf_dir: str, window_hours: int = 24) -> pd.DataFrame:
+    """Ordered conversion funnel: users who signed up, then clicked within
+    ``window_hours`` of their first signup, then purchased within
+    ``window_hours`` of that first qualifying click.  The chain needs each
+    user's event times co-located (stage k's cutoff depends on stage k-1's
+    min), so the plan is ONE hash(user)-bucketed shuffle of the
+    type-filtered (user, type, ts) projection; per bucket the three stages
+    resolve with vectorized grouped mins + merges (no per-user loop), and
+    only ONE count row per bucket returns to the driver."""
+    from ..ops import add_hash_bucket_int
+
+    win_us = window_hours * 3_600 * 10**6
+    events = _read(sf_dir, "events", columns=["user_id", "event_type", "ts"])
+
+    def _project(t: pa.Table) -> pa.Table:
+        mask = pc.is_in(
+            t["event_type"],
+            value_set=pa.array(["signup", "click", "purchase"]),
+        )
+        t = t.filter(mask)
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "event_type": t["event_type"],
+                "ts_us": pc.cast(t["ts"], pa.int64()),
+            }
+        )
+
+    n_buckets = max(8, 4 * int(ray.cluster_resources().get("CPU", 8)))
+    bucketed = add_hash_bucket_int(
+        events.map_batches(_project, batch_format="pyarrow"), "user_id", n_buckets
+    )
+
+    def _stage_counts(g: pd.DataFrame) -> pd.DataFrame:
+        s1 = (
+            g[g["event_type"] == "signup"]
+            .groupby("user_id")["ts_us"].min().rename("t1").reset_index()
+        )
+        cl = g[g["event_type"] == "click"][["user_id", "ts_us"]].merge(s1, on="user_id")
+        s2 = (
+            cl[(cl["ts_us"] >= cl["t1"]) & (cl["ts_us"] < cl["t1"] + win_us)]
+            .groupby("user_id")["ts_us"].min().rename("t2").reset_index()
+        )
+        pu = g[g["event_type"] == "purchase"][["user_id", "ts_us"]].merge(s2, on="user_id")
+        s3 = pu[(pu["ts_us"] >= pu["t2"]) & (pu["ts_us"] < pu["t2"] + win_us)]
+        return pd.DataFrame(
+            {
+                "n1": [len(s1)],
+                "n2": [len(s2)],
+                "n3": [s3["user_id"].nunique()],
+            }
+        )
+
+    parts = (
+        bucketed.groupby("__bucket")
+        .map_groups(_stage_counts, batch_format="pandas")
+        .to_pandas()
+    )
+    return pd.DataFrame(
+        {
+            "stage": ["1_signup", "2_click", "3_purchase"],
+            "n_users": np.array(
+                [parts["n1"].sum(), parts["n2"].sum(), parts["n3"].sum()],
+                dtype=np.int64,
+            ),
+        }
+    )
+
+
+def embeddings_semdedup(sf_dir: str, n_clusters: int = 8, tau: float = 0.35) -> pd.DataFrame:
+    """SemDeDup semantic dedup / diversity pruning over the embeddings
+    table (functions/similarity.py:semdedup_keep_ids): cluster, then
+    within-cluster greedy cosine prune at τ.  The test corpus has no
+    near-dups (max pairwise cosine ≈0.48), so the default τ=0.35 runs the
+    operator as a diversity filter with real drops; production near-dup
+    removal uses τ≈0.95.  Iterative + data-dependent → rows-only driver
+    check, pinned to a driver-side greedy recomputation in
+    tests/test_local_oracles.py."""
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return fsim.semdedup_keep_ids(ds, n_clusters=n_clusters, tau=tau)

@@ -501,3 +501,33 @@ def test_pin_events_value_quantiles_approx(ray_session):
             assert abs(rank - np.ceil(q * n)) <= 0.005 * n + 1, (
                 row["event_type"], q, row[cname], rank, n,
             )
+
+
+def test_pin_embeddings_semdedup(ray_session):
+    """SemDeDup pinned to a driver-side recomputation: centroids from the
+    same seeded bounded-sample k-means, then plain-numpy nearest-centroid
+    assignment + id-ordered greedy cosine prune — checks the distributed
+    assignment broadcast, the cluster shuffle, and the per-cluster prune."""
+    from crawler_uni_ray.functions import similarity as fsim
+
+    got = Q.embeddings_semdedup(SF)
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    emb = emb.sort_values("vec_id").reset_index(drop=True)
+    vecs = np.stack(emb["embedding"].to_numpy()).astype(np.float32)
+    unit = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+    ds = Q._read(SF, "embeddings", columns=["vec_id", "embedding"])
+    cent = fsim.kmeans_centroids(ds, n_centroids=8, seed=7)
+    assign = np.argmax(unit @ cent.T, axis=1)
+    ids = emb["vec_id"].to_numpy()
+    rows = []
+    for c in range(len(cent)):
+        members = np.where(assign == c)[0]  # emb is vec_id-sorted already
+        keep: list[int] = []
+        for i in members:
+            if keep and (unit[keep] @ unit[i] > 0.35).any():
+                continue
+            keep.append(int(i))
+        rows.extend((int(ids[i]), c) for i in keep)
+    want = pd.DataFrame(sorted(rows), columns=["vec_id", "cluster"])
+    assert len(got) < len(emb)  # tau=0.35 really prunes on this corpus
+    _eq(got, want)
