@@ -142,6 +142,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_stratified_sample": q.docs_stratified_sample,
         "events_funnel": q.events_funnel,
         "embeddings_semdedup": q.embeddings_semdedup,
+        "docs_dup_spans": q.docs_dup_spans,
     }
 
 
@@ -856,6 +857,31 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT '2_click', COUNT(*) FROM s2
             UNION ALL SELECT '3_purchase', COUNT(*) FROM s3
             ORDER BY stage
+        """,
+        # Duplicate-span mining: per doc, its distinct 10-token spans that
+        # occur in >= 2 docs.  Same hash-vs-string shingle equality caveat
+        # as docs_decontaminate; outputs are int64 counts.
+        "docs_dup_spans": """
+            WITH tok AS (
+              SELECT doc_id, REGEXP_EXTRACT_ALL(LOWER(text), '[a-z]+') AS toks
+              FROM documents
+            ), sh AS (
+              SELECT DISTINCT doc_id, s FROM (
+                SELECT doc_id,
+                       UNNEST([array_to_string(toks[i:i+9], ' ')
+                               FOR i IN RANGE(1, LEN(toks)-8)]) AS s
+                FROM tok
+              )
+            ), dup AS (
+              SELECT s FROM sh GROUP BY s HAVING COUNT(DISTINCT doc_id) >= 2
+            ), cnt AS (
+              SELECT doc_id, COUNT(*) AS n_dup_spans
+              FROM sh JOIN dup USING (s) GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(c.n_dup_spans, 0) AS BIGINT) AS n_dup_spans
+            FROM documents d LEFT JOIN cnt c USING (doc_id)
+            ORDER BY d.doc_id
         """,
         # Remaining queries (fingerprint/minhash/simhash/LSH ANN/
         # embedding-dup/semdedup/crawl/media) are genuinely non-SQL-expressible

@@ -499,6 +499,69 @@ def add_contamination(
     return ds.map_batches(_f, batch_format="pandas")
 
 
+def dup_span_counts(
+    ds: Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 10,
+    n_buckets: int | None = None,
+) -> Dataset:
+    """Substring-level duplicate-span mining (the shape of suffix-array
+    training-data dedup, Lee et al. 2022, arXiv:2107.06499, approximated
+    at fixed span length): per doc, the count of its DISTINCT n-token
+    spans that also occur in at least one OTHER doc.  Plan: explode
+    distinct (id, span-hash) pairs — 16 B/row — into ONE hash(span)
+    bucketed shuffle (a span's global doc-frequency resolves inside its
+    bucket: per-bucket value_counts → keep df ≥ 2 → per-doc partial
+    counts), then union driver-free zero rows for every doc and finish
+    with a tiny groupby(id) sum.  The text payload never enters either
+    all-to-all."""
+    import ray as _ray
+
+    from ..ops import add_hash_bucket_int
+
+    if n_buckets is None:
+        n_buckets = max(8, 4 * int(_ray.cluster_resources().get("CPU", 8)))
+
+    def _explode(df: pd.DataFrame) -> pd.DataFrame:
+        u = shingle_hash_lists(df[text_col], n)
+        lens = np.fromiter((len(x) for x in u), np.int64, count=len(u))
+        flat = np.concatenate(u) if u else np.empty(0, np.uint64)
+        ids = np.repeat(df[id_col].to_numpy(), lens)
+        return pd.DataFrame({id_col: ids, "sh": flat.view(np.int64)})
+
+    pairs = add_hash_bucket_int(
+        ds.map_batches(_explode, batch_format="pandas"), "sh", n_buckets
+    )
+
+    def _bucket_partials(g: pd.DataFrame) -> pd.DataFrame:
+        # rows are per-doc-distinct, so a span's group size IS its doc freq
+        df_per_span = g.groupby("sh")[id_col].transform("size")
+        hit = g[df_per_span >= 2]
+        out = hit.groupby(id_col).size().rename("n_dup_spans").reset_index()
+        out["n_dup_spans"] = out["n_dup_spans"].astype("int64")
+        return out[[id_col, "n_dup_spans"]]
+
+    partials = pairs.groupby("__bucket").map_groups(
+        _bucket_partials, batch_format="pandas"
+    )
+
+    def _zeros(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                id_col: df[id_col].to_numpy(),
+                "n_dup_spans": np.zeros(len(df), dtype=np.int64),
+            }
+        )
+
+    zeros = ds.map_batches(_zeros, batch_format="pandas")
+    from ray.data.aggregate import Sum
+
+    return partials.union(zeros).groupby(id_col).aggregate(
+        Sum("n_dup_spans", alias_name="n_dup_spans")
+    )
+
+
 # ---------------------------------------------------------- normalization
 
 

@@ -2258,6 +2258,17 @@ def events_funnel(sf_dir: str, window_hours: int = 24) -> pd.DataFrame:
     )
 
 
+def docs_dup_spans(sf_dir: str, n: int = 10) -> pd.DataFrame:
+    """Duplicate-span mining (functions/text.py:dup_span_counts): per doc,
+    how many of its distinct 10-token spans occur in ≥2 docs — the
+    fixed-length approximation of substring-level training-data dedup.
+    Hash-vs-string shingle equality caveat as docs_decontaminate."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ftext.dup_span_counts(docs, n=n).to_pandas()
+    out["n_dup_spans"] = out["n_dup_spans"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def embeddings_semdedup(sf_dir: str, n_clusters: int = 8, tau: float = 0.35) -> pd.DataFrame:
     """SemDeDup semantic dedup / diversity pruning over the embeddings
     table (functions/similarity.py:semdedup_keep_ids): cluster, then
