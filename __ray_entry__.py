@@ -143,6 +143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": q.events_funnel,
         "embeddings_semdedup": q.embeddings_semdedup,
         "docs_dup_spans": q.docs_dup_spans,
+        "orders_price_quartiles_cont": q.orders_price_quartiles_cont,
     }
 
 
@@ -857,6 +858,20 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT '2_click', COUNT(*) FROM s2
             UNION ALL SELECT '3_purchase', COUNT(*) FROM s3
             ORDER BY stage
+        """,
+        # Exact interpolated quartiles over int64 cents: dyadic q's make
+        # lo + frac*(hi-lo) exact in double on both engines.
+        "orders_price_quartiles_cont": """
+            SELECT o_custkey,
+                   QUANTILE_CONT(cents, 0.25) AS q25_cents,
+                   QUANTILE_CONT(cents, 0.5)  AS q50_cents,
+                   QUANTILE_CONT(cents, 0.75) AS q75_cents
+            FROM (
+                SELECT o_custkey,
+                       CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+                FROM orders
+            )
+            GROUP BY o_custkey ORDER BY o_custkey
         """,
         # Duplicate-span mining: per doc, its distinct 10-token spans that
         # occur in >= 2 docs.  Same hash-vs-string shingle equality caveat

@@ -253,6 +253,9 @@ def bench_queries() -> dict:
         ("docs_tfidf_top", q.docs_tfidf_top),
         ("docs_dedup_fuzzy", q.docs_dedup_fuzzy),
         ("embeddings_ann", q.embeddings_ann),
+        ("docs_decontaminate", q.docs_decontaminate),
+        ("docs_dup_spans", q.docs_dup_spans),
+        ("embeddings_semdedup", q.embeddings_semdedup),
     ]:
         t0 = time.time()
         fn(SF_DIR)

@@ -930,3 +930,45 @@ def grouped_string_agg(
         return from_pandas_clean(out)
 
     return bucketed.groupby("__bucket").map_groups(_agg, batch_format="pandas")
+
+
+def grouped_quantiles_cont(
+    ds: Dataset,
+    key: str,
+    value_col: str,
+    qs: dict[str, float],
+    n_buckets: int = 64,
+    int_key: bool = True,
+) -> Dataset:
+    """Exact per-group INTERPOLATED quantiles (SQL ``QUANTILE_CONT`` /
+    numpy ``method='linear'``: position q·(n-1), result lo + frac·(hi-lo))
+    — the continuous-rank complement to :func:`grouped_quantiles_disc`
+    (whose histogram plan needs a bounded value domain but no per-group
+    sort) and to the mergeable ε-summary (approximate).  One bucketed
+    shuffle of (key, value); per bucket a single lexsort resolves every
+    key's quantiles from slice offsets — group payload is a key's rows,
+    so this is for bounded per-key cardinality.  Bit-identical across
+    engines when values are int64 and the q's are dyadic (0.25/0.5/0.75):
+    every intermediate is exact in double."""
+    bucket = add_hash_bucket_int if int_key else add_hash_bucket
+    bucketed = bucket(ds.select_columns([key, value_col]), key, n_buckets)
+
+    def _q(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values([key, value_col], kind="mergesort")
+        keys = g[key].to_numpy()
+        vals = g[value_col].to_numpy().astype(np.float64)
+        starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
+        ends = np.r_[starts[1:], len(keys)]
+        cols: dict[str, np.ndarray] = {}
+        ns = (ends - starts).astype(np.float64)
+        for name, q in qs.items():
+            pos = q * (ns - 1.0)
+            lo_i = np.floor(pos).astype(np.int64)
+            frac = pos - lo_i
+            lo = vals[starts + lo_i]
+            hi = vals[np.minimum(starts + lo_i + 1, ends - 1)]
+            cols[name] = lo + frac * (hi - lo)
+        out = pd.DataFrame({key: keys[starts], **cols})
+        return from_pandas_clean(out)
+
+    return bucketed.groupby("__bucket").map_groups(_q, batch_format="pandas")

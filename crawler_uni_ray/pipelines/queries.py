@@ -2258,6 +2258,30 @@ def events_funnel(sf_dir: str, window_hours: int = 24) -> pd.DataFrame:
     )
 
 
+def orders_price_quartiles_cont(sf_dir: str) -> pd.DataFrame:
+    """Per-customer exact INTERPOLATED price quartiles
+    (ops.grouped_quantiles_cont — the QUANTILE_CONT family): prices
+    quantize to int64 cents per batch first, and 0.25/0.5/0.75 are dyadic,
+    so the interpolation lo + frac·(hi−lo) is exact in double on both
+    engines (hash-identical, no rounding tricks needed)."""
+    from ..ops import grouped_quantiles_cont
+
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def _cents(t: pa.Table) -> pa.Table:
+        cents = np.floor(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100 + 0.5
+        ).astype(np.int64)
+        return pa.table({"o_custkey": t["o_custkey"], "cents": pa.array(cents)})
+
+    out = grouped_quantiles_cont(
+        ds.map_batches(_cents, batch_format="pyarrow"),
+        key="o_custkey", value_col="cents",
+        qs={"q25_cents": 0.25, "q50_cents": 0.5, "q75_cents": 0.75},
+    ).to_pandas()
+    return out.sort_values("o_custkey").reset_index(drop=True)
+
+
 def docs_dup_spans(sf_dir: str, n: int = 10) -> pd.DataFrame:
     """Duplicate-span mining (functions/text.py:dup_span_counts): per doc,
     how many of its distinct 10-token spans occur in ≥2 docs — the

@@ -590,3 +590,40 @@ def test_grouped_string_agg_matches_duckdb(ray_session):
         "SELECT k, string_agg(v, ',' ORDER BY o) AS agg FROM df GROUP BY k ORDER BY k"
     ).df()
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_grouped_quantiles_cont_matches_duckdb(ray_session):
+    """QUANTILE_CONT parity under ties, singletons, and cross-block keys:
+    int64 values + dyadic q's must be BIT-identical to DuckDB (every
+    interpolation intermediate is exact in double)."""
+    import duckdb
+    import numpy as np
+    import ray.data as rd
+
+    from crawler_uni_ray.ops import grouped_quantiles_cont
+
+    rng = np.random.RandomState(3)
+    df = pd.DataFrame(
+        {
+            "k": np.concatenate([rng.randint(0, 40, 3000), [999]]),  # singleton key
+            "v": np.concatenate([rng.randint(0, 50, 3000), [7]]).astype("int64"),  # heavy ties
+        }
+    )
+    ds = rd.from_pandas(df).repartition(7)
+    got = (
+        grouped_quantiles_cont(
+            ds, "k", "v", {"q25": 0.25, "q50": 0.5, "q75": 0.75}, n_buckets=16
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.execute(
+        "SELECT k, QUANTILE_CONT(v,0.25) q25, QUANTILE_CONT(v,0.5) q50,"
+        " QUANTILE_CONT(v,0.75) q75 FROM t GROUP BY k ORDER BY k"
+    ).df()
+    assert (got["k"].to_numpy() == want["k"].to_numpy()).all()
+    for c in ("q25", "q50", "q75"):
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
