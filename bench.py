@@ -263,6 +263,7 @@ def bench_queries() -> dict:
     out["ann_200k"] = bench_ann_scale()
     out.update(bench_ann_ivf_200k())
     out.update(bench_dedup_scale())
+    out.update(bench_semdedup_scale())
     return out
 
 
@@ -340,6 +341,39 @@ def _gen_vectors(n: int, dim: int):
         }
 
     return ray.data.range(n, override_num_blocks=64).map_batches(_gen, batch_size=8192)
+
+
+def bench_semdedup_scale(n: int = 200_000, dim: int = 64, topics: int = 64) -> dict:
+    """SemDeDup at vector scale: a ``topics``-latent-topic corpus (uniform
+    vectors would prune nothing at any sane τ) → 64-cluster k-means +
+    per-cluster greedy cosine prune at τ=0.9.  Exercises the broadcast
+    assignment and the cluster-confined quadratic at real width."""
+    import numpy as np
+    import ray.data
+
+    def _gen(b):
+        ids = b["id"].astype(np.int64)
+        base_rng = np.random.default_rng(321)
+        base = base_rng.standard_normal((topics, dim)).astype(np.float32)
+        rng = np.random.default_rng(int(ids[0]) + 777)
+        noise = 0.35 * rng.standard_normal((len(ids), dim)).astype(np.float32)
+        return {
+            "vec_id": ids,
+            "embedding": list(base[ids % topics] + noise),
+        }
+
+    ds = (
+        ray.data.range(n, override_num_blocks=64)
+        .map_batches(_gen, batch_size=8192)
+        .materialize()
+    )
+    from crawler_uni_ray.functions.similarity import semdedup_keep_ids
+
+    t0 = time.time()
+    kept = semdedup_keep_ids(ds, n_clusters=64, tau=0.9)
+    dt = round(time.time() - t0, 3)
+    assert 0 < len(kept) < n, len(kept)
+    return {"semdedup_200k_sec": dt, "semdedup_200k_kept": int(len(kept))}
 
 
 def bench_ann_ivf_200k(n: int = 200_000, dim: int = 64) -> dict:
