@@ -144,6 +144,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_semdedup": q.embeddings_semdedup,
         "docs_dup_spans": q.docs_dup_spans,
         "orders_price_quartiles_cont": q.orders_price_quartiles_cont,
+        # round-5 final session: retention / packing / domain-mix
+        "events_retention": q.events_retention,
+        "docs_pack_chunks": q.docs_pack_chunks,
+        "docs_domain_mix": q.docs_domain_mix,
     }
 
 
@@ -897,6 +901,49 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(c.n_dup_spans, 0) AS BIGINT) AS n_dup_spans
             FROM documents d LEFT JOIN cnt c USING (doc_id)
             ORDER BY d.doc_id
+        """,
+        # Cohort retention: COUNT(*) over distinct (user, day) pairs ==
+        # distinct users per (cohort, offset) cell; all-integer epoch-day
+        # arithmetic.
+        "events_retention": """
+            WITH ud AS (
+                SELECT DISTINCT user_id,
+                       CAST(FLOOR(EPOCH(ts) / 86400) AS BIGINT) AS day
+                FROM events
+            ), c AS (
+                SELECT user_id, MIN(day) AS cohort_day FROM ud GROUP BY 1
+            )
+            SELECT c.cohort_day, ud.day - c.cohort_day AS day_offset,
+                   COUNT(*) AS n_users
+            FROM ud JOIN c USING (user_id)
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # Sequence packing (concat-then-chunk, per shard = doc_id % 16,
+        # 128-token chunks): chunk = exclusive-prefix-sum // budget in
+        # doc_id order; tokens = spaces+1, integer arithmetic only.
+        "docs_pack_chunks": """
+            SELECT doc_id, shard, n_tokens,
+                   CAST(COALESCE(SUM(n_tokens) OVER (
+                       PARTITION BY shard ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) // 128 AS BIGINT) AS chunk_id
+            FROM (
+                SELECT doc_id, doc_id % 16 AS shard,
+                       LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1
+                           AS n_tokens
+                FROM documents
+            )
+            ORDER BY doc_id
+        """,
+        # Domain-mixture downsampling: keep-fraction 1/(1 + src_num % 4),
+        # membership by the injective multiplicative scramble — both
+        # engines compare the same int64s against the same thresholds.
+        "docs_domain_mix": """
+            SELECT doc_id, source
+            FROM documents
+            WHERE (doc_id * 2654435761) % 4294967296 <
+                  4294967296 // (1 + CAST(SUBSTR(source, 4) AS BIGINT) % 4)
+            ORDER BY doc_id
         """,
         # Remaining queries (fingerprint/minhash/simhash/LSH ANN/
         # embedding-dup/semdedup/crawl/media) are genuinely non-SQL-expressible

@@ -2304,3 +2304,117 @@ def embeddings_semdedup(sf_dir: str, n_clusters: int = 8, tau: float = 0.35) -> 
     tests/test_local_oracles.py."""
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     return fsim.semdedup_keep_ids(ds, n_clusters=n_clusters, tau=tau)
+
+
+def events_retention(sf_dir: str) -> pd.DataFrame:
+    """Cohort retention matrix: users grouped by the UTC day of their
+    FIRST event (the cohort), counted once per later active day, keyed
+    (cohort_day, day_offset).  The per-user pieces (first day + distinct
+    active days) need co-location, so the plan is ONE hash(user)-bucketed
+    shuffle of the (user, epoch-day) projection — pre-shrunk per block to
+    distinct (user, day) pairs, so shuffle volume is bounded by distinct
+    pairs, not events.  Per bucket a vectorized grouped-min + offset
+    emit yields partial (cohort_day, day_offset, n) counts; the driver
+    combine is ≤ n_days² rows per bucket (30-day corpus ⇒ ≤ ~900)."""
+    from ..ops import add_hash_bucket_int
+
+    events = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def _project(t: pa.Table) -> pa.Table:
+        day = pc.cast(t["ts"], pa.int64()).to_numpy() // 86_400_000_000
+        out = pa.table({"user_id": t["user_id"], "day": pa.array(day)})
+        # per-block distinct (user, day): shrink before the shuffle
+        return out.group_by(["user_id", "day"]).aggregate([])
+
+    n_buckets = max(8, 4 * int(ray.cluster_resources().get("CPU", 8)))
+    bucketed = add_hash_bucket_int(
+        events.map_batches(_project, batch_format="pyarrow"), "user_id", n_buckets
+    )
+
+    def _partial(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["user_id", "day"])  # distinct across blocks
+        first = g.groupby("user_id")["day"].transform("min")
+        out = pd.DataFrame(
+            {"cohort_day": first, "day_offset": g["day"] - first}
+        )
+        return (
+            out.groupby(["cohort_day", "day_offset"], sort=False)
+            .size().rename("n_users").reset_index()
+        )
+
+    parts = (
+        bucketed.groupby("__bucket")
+        .map_groups(_partial, batch_format="pandas")
+        .to_pandas()
+    )
+    out = (
+        parts.groupby(["cohort_day", "day_offset"], sort=True)["n_users"]
+        .sum().reset_index()
+    )
+    out["n_users"] = out["n_users"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+def docs_pack_chunks(sf_dir: str, n_shards: int = 16, budget: int = 128) -> pd.DataFrame:
+    """Sequence packing (concat-then-chunk): per shard (doc_id % n_shards),
+    documents are concatenated in doc_id order and split into fixed
+    ``budget``-token training chunks; each doc is assigned the chunk that
+    contains its FIRST token — exactly the GPT-style pack-and-chunk
+    layout, sharded so packing parallelizes (real pipelines pack per
+    input shard, never globally; n_shards is sized to the cluster at
+    scale).  Tokens = whitespace tokens, counted as spaces+1 via the
+    Arrow count_substring kernel so the SQL oracle reproduces it exactly.
+    One hash(shard) shuffle of 24-byte rows; per group a sort + exclusive
+    cumsum — O(shard) memory on slim (doc_id, n_tokens) rows only, the
+    text never moves."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _tok(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        ntok = pc.count_substring(t["text"], " ").to_numpy().astype(np.int64) + 1
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "shard": pa.array(ids % n_shards),
+                "n_tokens": pa.array(ntok),
+            }
+        )
+
+    def _pack(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+        start = g["n_tokens"].cumsum().shift(fill_value=0)
+        g["chunk_id"] = (start // budget).astype("int64")
+        return g[["doc_id", "shard", "n_tokens", "chunk_id"]]
+
+    out = (
+        docs.map_batches(_tok, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(_pack, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def docs_domain_mix(sf_dir: str) -> pd.DataFrame:
+    """Domain-mixture downsampling: each source keeps a deterministic
+    1/(1 + src_num % 4) fraction of its docs (the training-data "domain
+    reweighting" op — e.g. downweight crawl dumps vs curated sources).
+    Membership = multiplicative doc_id scramble < floor(2³²/rate_den),
+    integer-exact on both engines, so the sample is a pure shuffle-free
+    filter: no data moves, every worker decides locally from the
+    broadcast rate table (here computed from the source name itself; a
+    real mixture ships a dict via ray.put).  Output keeps per-source
+    counts verifiable: (source, doc_id)."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def _keep(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy().astype(np.int64)
+        sk = (ids * 2654435761) % 4294967296
+        src_num = pc.cast(
+            pc.utf8_replace_slice(t["source"], 0, 3, ""), pa.int64()
+        ).to_numpy()
+        thresh = 4294967296 // (1 + src_num % 4)
+        return t.filter(pa.array(sk < thresh))
+
+    out = docs.map_batches(_keep, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)[["doc_id", "source"]]
