@@ -148,6 +148,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_retention": q.events_retention,
         "docs_pack_chunks": q.docs_pack_chunks,
         "docs_domain_mix": q.docs_domain_mix,
+        # round-5 final session: JSON props, gap-fill, user lifetime,
+        # inverted index, link-graph PageRank (iterative → rows-only)
+        "events_props_agg": q.events_props_agg,
+        "events_daily_gapfill": q.events_daily_gapfill,
+        "events_user_lifetime": q.events_user_lifetime,
+        "docs_inverted_index": q.docs_inverted_index,
+        "lineitem_pagerank": q.lineitem_pagerank,
     }
 
 
@@ -944,6 +951,65 @@ def oracle_sql() -> dict[str, str]:
             WHERE (doc_id * 2654435761) % 4294967296 <
                   4294967296 // (1 + CAST(SUBSTR(source, 4) AS BIGINT) % 4)
             ORDER BY doc_id
+        """,
+        # JSON property extraction: both engines pull the integer k out
+        # of the props JSON text and aggregate; sum rounds to 6dp on both
+        # sides so summation order can't flip the hash.
+        "events_props_agg": """
+            SELECT CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT) AS k,
+                   COUNT(*) AS n_events,
+                   ROUND(SUM(value), 6) AS sum_value
+            FROM events
+            GROUP BY 1 ORDER BY 1
+        """,
+        # Dense (day × type) grid, zero-filled: RANGE spans min..max day
+        # inclusive so days with no events at all still appear.
+        "events_daily_gapfill": """
+            WITH b AS (
+                SELECT CAST(FLOOR(EPOCH(ts) / 86400) AS BIGINT) AS day,
+                       event_type
+                FROM events
+            ), d AS (
+                SELECT UNNEST(RANGE((SELECT MIN(day) FROM b),
+                                    (SELECT MAX(day) FROM b) + 1)) AS day
+            ), t AS (
+                SELECT DISTINCT event_type FROM b
+            ), c AS (
+                SELECT day, event_type, COUNT(*) AS n FROM b GROUP BY 1, 2
+            )
+            SELECT d.day, t.event_type, COALESCE(c.n, 0) AS n
+            FROM d CROSS JOIN t
+            LEFT JOIN c ON c.day = d.day AND c.event_type = t.event_type
+            ORDER BY 1, 2
+        """,
+        # Per-user lifetime: FIRST/LAST with an explicit (ts, event_id)
+        # order — the deterministic ROW_NUMBER()=1 semantics; span in
+        # integer microseconds (epoch_us), no float time arithmetic.
+        "events_user_lifetime": """
+            SELECT user_id,
+                   FIRST(event_type ORDER BY ts, event_id) AS first_type,
+                   LAST(event_type ORDER BY ts, event_id)  AS last_type,
+                   epoch_us(MAX(ts)) - epoch_us(MIN(ts))   AS span_us,
+                   COUNT(*) AS n_events
+            FROM events
+            GROUP BY user_id ORDER BY user_id
+        """,
+        # Inverted index: distinct (doc, term) pairs, then per-term df +
+        # the ordered posting list — element order pinned by doc_id so
+        # the string compares byte-equal.
+        "docs_inverted_index": """
+            SELECT term, COUNT(*) AS df,
+                   STRING_AGG(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+                       AS postings
+            FROM (
+                SELECT DISTINCT doc_id, term FROM (
+                    SELECT doc_id,
+                           LOWER(UNNEST(REGEXP_EXTRACT_ALL(text, '[A-Za-z]+')))
+                               AS term
+                    FROM documents
+                )
+            )
+            GROUP BY term ORDER BY term
         """,
         # Remaining queries (fingerprint/minhash/simhash/LSH ANN/
         # embedding-dup/semdedup/crawl/media) are genuinely non-SQL-expressible

@@ -1,0 +1,267 @@
+"""Iterative link-graph analytics over edge Datasets: PageRank.
+
+The crawl engine's natural downstream consumer — the links.txt /
+side-write tables ARE an edge list (reference output: crawler.py:93-97) —
+and the canonical "iterative algorithm on Ray Data" shape: the edge set
+is hash-bucketed ONCE and stays put; only node-sized rank rows move per
+iteration, exactly like the large-star/small-star connected-components
+rounds in ``functions/dedup.py``.
+
+Two rank-transport paths, result-equal (asserted in
+``tests/test_graph.py``):
+
+* **broadcast** — ranks live in one numpy array ``ray.put`` per
+  iteration; every map task does a vectorized ``searchsorted`` lookup.
+  Right whenever the node table fits comfortably in a worker heap
+  (node-count ≤ ~1e8 at 16 B/node); per iteration: one broadcast + one
+  node-keyed combine.
+* **bucketed** — ranks stay a Dataset; each iteration co-groups edges
+  and ranks on ``hash(src)`` (the union-then-groupby join the rest of
+  the repo uses, see ``pipelines/queries.py`` revenue_by_priority) and
+  re-combines contributions on ``hash(dst)``.  Nothing node- or
+  edge-sized ever lands on the driver; this is the 100 TB path.
+
+Dangling mass (outdegree-0 nodes) is redistributed uniformly each
+iteration, so ranks always sum to 1.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+from ray.data import Dataset
+from ray.data.aggregate import Sum
+
+from ..ops import add_hash_bucket_int
+from ..util import cached_get, from_pandas_clean
+
+
+def _distinct_edges(edges: Dataset, src: str, dst: str, n_buckets: int) -> Dataset:
+    """Distinct (src, dst) pairs via one hash(src) bucketed shuffle —
+    buckets hold whole src keys, so a per-group drop_duplicates is exact."""
+    bucketed = add_hash_bucket_int(edges.select_columns([src, dst]), src, n_buckets)
+
+    def _dedup(g: pd.DataFrame) -> pa.Table:
+        return from_pandas_clean(
+            g.drop_duplicates([src, dst]).drop(columns="__bucket")
+        )
+
+    return bucketed.groupby("__bucket").map_groups(_dedup, batch_format="pandas")
+
+
+def _node_table(edges: Dataset, src: str, dst: str) -> Dataset:
+    """(node, outdeg) for the full node universe — src-side counts union
+    dst-side zero rows, ONE combine; dst-only nodes land with outdeg 0."""
+
+    def _partial(t: pa.Table) -> pa.Table:
+        s = t[src].to_numpy()
+        d = t[dst].to_numpy()
+        u_s, c_s = np.unique(s, return_counts=True)
+        u_d = np.unique(d)
+        node = np.concatenate([u_s, u_d])
+        deg = np.concatenate([c_s.astype(np.int64), np.zeros(len(u_d), np.int64)])
+        return pa.table({"node": pa.array(node), "outdeg": pa.array(deg)})
+
+    return (
+        edges.map_batches(_partial, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Sum("outdeg", alias_name="outdeg"))
+    )
+
+
+def pagerank(
+    edges: Dataset,
+    n_iter: int = 10,
+    d: float = 0.85,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    transport: str = "auto",
+    broadcast_max_nodes: int = 50_000_000,
+    n_buckets: int | None = None,
+    assume_distinct: bool = False,
+) -> pd.DataFrame:
+    """PageRank over a directed edge Dataset; returns (node, rank) for
+    every node, ranks summing to 1.  ``transport`` picks the per-iteration
+    rank movement: ``"broadcast"`` / ``"bucketed"`` / ``"auto"`` (bucketed
+    past ``broadcast_max_nodes`` nodes).  The driver holds node-sized
+    state only on the broadcast path and only result-sized output on
+    both (at extreme node counts, take the bucketed internals and
+    ``write_parquet`` the final ranks Dataset instead of collecting)."""
+    if n_buckets is None:
+        n_buckets = max(16, 2 * int(ray.cluster_resources().get("CPU", 8)))
+    if not assume_distinct:
+        edges = _distinct_edges(edges, src_col, dst_col, n_buckets)
+    edges = edges.materialize()  # iterated over n_iter times — pin it
+
+    nodes = _node_table(edges, src_col, dst_col)
+    if transport == "auto":
+        transport = "bucketed" if nodes.count() > broadcast_max_nodes else "broadcast"
+    if transport == "broadcast":
+        return _pagerank_broadcast(edges, nodes, n_iter, d, src_col, dst_col)
+    return _pagerank_bucketed(edges, nodes, n_iter, d, src_col, dst_col, n_buckets)
+
+
+def _pagerank_broadcast(
+    edges: Dataset, nodes: Dataset, n_iter: int, d: float, src: str, dst: str
+) -> pd.DataFrame:
+    nd = nodes.to_pandas().sort_values("node").reset_index(drop=True)
+    node_ids = nd["node"].to_numpy(np.int64)
+    outdeg = nd["outdeg"].to_numpy(np.int64)
+    n = len(node_ids)
+    ranks = np.full(n, 1.0 / n)
+    dangling_mask = outdeg == 0
+    safe_deg = np.where(dangling_mask, 1, outdeg).astype(np.float64)
+
+    for _ in range(n_iter):
+        w_ref = ray.put((node_ids, ranks / safe_deg))
+
+        def _contrib(t: pa.Table, _ref=w_ref) -> pa.Table:
+            ids, w = cached_get(_ref)
+            s = t[src].to_numpy()
+            c = w[np.searchsorted(ids, s)]
+            df = pd.DataFrame({"node": t[dst].to_numpy(), "c": c})
+            g = df.groupby("node", as_index=False)["c"].sum()  # combiner
+            return from_pandas_clean(g)
+
+        got = (
+            edges.map_batches(_contrib, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(Sum("c", alias_name="c"))
+            .to_pandas()
+        )
+        csum = np.zeros(n)
+        csum[np.searchsorted(node_ids, got["node"].to_numpy(np.int64))] = got[
+            "c"
+        ].to_numpy()
+        dangling = ranks[dangling_mask].sum()
+        ranks = (1.0 - d) / n + d * (csum + dangling / n)
+
+    return pd.DataFrame({"node": node_ids, "rank": ranks})
+
+
+def _pagerank_bucketed(
+    edges: Dataset,
+    nodes: Dataset,
+    n_iter: int,
+    d: float,
+    src: str,
+    dst: str,
+    n_buckets: int,
+) -> pd.DataFrame:
+    """Distributed transport: ranks are a (node, rank, outdeg) Dataset.
+    Per iteration — (1) a node-sized filter+Sum for the dangling scalar,
+    (2) ONE hash(src) co-group of pre-bucketed edges with rank rows
+    emitting per-group dst-combined contributions, (3) ONE hash(node)
+    combine union-zero-filled against the node table.  Edge payloads
+    shuffle once total (before the loop); per-iteration traffic is
+    node-sized (24 B rows) plus the contribution partials."""
+    n = nodes.count()
+
+    def _tag_edge(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "k": t[src],
+                "dst": t[dst],
+                "w": pa.array(np.zeros(t.num_rows)),
+                "tag": pa.array(np.zeros(t.num_rows, np.int64)),
+            }
+        )
+
+    edges_b = add_hash_bucket_int(
+        edges.map_batches(_tag_edge, batch_format="pyarrow"), "k", n_buckets
+    ).materialize()
+
+    def _init(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": t["node"],
+                "rank": pa.array(np.full(t.num_rows, 1.0 / n)),
+                "outdeg": t["outdeg"],
+            }
+        )
+
+    ranks_ds = nodes.map_batches(_init, batch_format="pyarrow").materialize()
+
+    for _ in range(n_iter):
+        def _dang_partial(t: pa.Table) -> pa.Table:
+            deg = t["outdeg"].to_numpy()
+            r = t["rank"].to_numpy()
+            return pa.table({"s": pa.array([float(r[deg == 0].sum())])})
+
+        dang_row = ranks_ds.map_batches(
+            _dang_partial, batch_format="pyarrow"
+        ).aggregate(Sum("s", alias_name="s"))
+        dangling = float(dang_row["s"] or 0.0)
+
+        def _tag_rank(t: pa.Table) -> pa.Table:
+            deg = t["outdeg"].to_numpy().astype(np.float64)
+            w = t["rank"].to_numpy() / np.where(deg == 0, 1.0, deg)
+            return pa.table(
+                {
+                    "k": t["node"],
+                    "dst": pa.array(np.zeros(t.num_rows, np.int64)),
+                    "w": pa.array(w),
+                    "tag": pa.array(np.ones(t.num_rows, np.int64)),
+                }
+            )
+
+        ranks_b = add_hash_bucket_int(
+            ranks_ds.map_batches(_tag_rank, batch_format="pyarrow"), "k", n_buckets
+        )
+
+        def _cogroup(g: pd.DataFrame) -> pa.Table:
+            rk = g[g["tag"] == 1]
+            ed = g[g["tag"] == 0]
+            if not len(ed):
+                return pa.table({"node": pa.array([], pa.int64()),
+                                 "c": pa.array([], pa.float64())})
+            w = ed["k"].map(pd.Series(rk["w"].to_numpy(), index=rk["k"].to_numpy()))
+            out = (
+                pd.DataFrame({"node": ed["dst"].to_numpy(), "c": w.to_numpy()})
+                .groupby("node", as_index=False)["c"].sum()
+            )
+            return from_pandas_clean(out)
+
+        contrib = (
+            edges_b.union(ranks_b)
+            .groupby("__bucket")
+            .map_groups(_cogroup, batch_format="pandas")
+        )
+
+        # zero-fill: union node rows (c=0, carries outdeg/base) with the
+        # contribution partials, ONE combine — no driver-side node state
+        def _zero(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "node": t["node"],
+                    "c": pa.array(np.zeros(t.num_rows)),
+                    "outdeg": t["outdeg"],
+                }
+            )
+
+        def _pad(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "outdeg", pa.array(np.zeros(t.num_rows, np.int64))
+            )
+
+        base = float((1.0 - d) / n + d * dangling / n)
+        merged = (
+            nodes.map_batches(_zero, batch_format="pyarrow")
+            .union(contrib.map_batches(_pad, batch_format="pyarrow"))
+            .groupby("node")
+            .aggregate(Sum("c", alias_name="c"), Sum("outdeg", alias_name="outdeg"))
+        )
+
+        def _newrank(t: pa.Table, _base=base) -> pa.Table:
+            r = _base + d * t["c"].to_numpy()
+            return pa.table(
+                {"node": t["node"], "rank": pa.array(r), "outdeg": t["outdeg"]}
+            )
+
+        ranks_ds = merged.map_batches(_newrank, batch_format="pyarrow").materialize()
+
+    out = ranks_ds.select_columns(["node", "rank"]).to_pandas()
+    return out.sort_values("node").reset_index(drop=True)

@@ -2418,3 +2418,164 @@ def docs_domain_mix(sf_dir: str) -> pd.DataFrame:
 
     out = docs.map_batches(_keep, batch_format="pyarrow").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)[["doc_id", "source"]]
+
+
+def events_props_agg(sf_dir: str) -> pd.DataFrame:
+    """JSON property extraction + aggregate: ``props`` holds a tiny JSON
+    object ({"k": N}); extract the integer field with ONE vectorized
+    Arrow RE2 pass (``pc.extract_regex`` — no Python-level json.loads per
+    row) and aggregate per k.  Scale: the extract is a map-side kernel;
+    the shuffle moves one partial row per distinct k per block (Ray's
+    Sum/Count pre-aggregation).  sum_value rounds to 6dp in both engines
+    so summation order can't flip the hash."""
+    events = _read(sf_dir, "events", columns=["props", "value"])
+
+    def _extract(t: pa.Table) -> pa.Table:
+        s = pc.extract_regex(t["props"], r'"k":\s*(?P<k>\d+)')
+        k = pc.cast(pc.struct_field(s, "k"), pa.int64())
+        return pa.table({"k": k, "value": t["value"]})
+
+    from ray.data.aggregate import Count, Sum
+
+    out = (
+        events.map_batches(_extract, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+        .to_pandas()
+    )
+    out["sum_value"] = out["sum_value"].round(6)
+    out["n_events"] = out["n_events"].astype("int64")
+    return out.sort_values("k").reset_index(drop=True)
+
+
+def events_daily_gapfill(sf_dir: str) -> pd.DataFrame:
+    """Dense (day × event_type) grid with zero-filled gaps — the
+    time-series resample shape.  The distributed part is the per-(day,
+    type) count (one combine of partial rows); the grid fill runs on the
+    driver because the OUTPUT is the grid — n_days × n_types rows, i.e.
+    result-sized by definition, never event-sized."""
+    from ray.data.aggregate import Count
+
+    events = _read(sf_dir, "events", columns=["ts", "event_type"])
+
+    def _day(t: pa.Table) -> pa.Table:
+        day = pc.cast(t["ts"], pa.int64()).to_numpy() // 86_400_000_000
+        return pa.table({"day": pa.array(day), "event_type": t["event_type"]})
+
+    counts = (
+        events.map_batches(_day, batch_format="pyarrow")
+        .groupby(["day", "event_type"])
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    days = np.arange(counts["day"].min(), counts["day"].max() + 1)
+    types = sorted(counts["event_type"].unique())
+    grid = pd.MultiIndex.from_product([days, types], names=["day", "event_type"])
+    out = (
+        counts.set_index(["day", "event_type"])["n"]
+        .reindex(grid, fill_value=0)
+        .reset_index()
+    )
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["day", "event_type"]).reset_index(drop=True)
+
+
+def events_user_lifetime(sf_dir: str) -> pd.DataFrame:
+    """Per-user lifetime summary: first/last event type (ties broken by
+    event_id — the deterministic ROW_NUMBER()=1 semantics), activity span
+    in microseconds, and event count.  One hash(user) bucketed shuffle;
+    per bucket a single stable lexsort resolves first/last/min/max for
+    every user in the group — whole user keys per bucket, so exact."""
+    from ..ops import add_hash_bucket_int
+
+    events = _read(sf_dir, "events", columns=["user_id", "ts", "event_type", "event_id"])
+
+    def _us(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "tus": pc.cast(t["ts"], pa.int64()),
+                "event_type": t["event_type"],
+                "event_id": t["event_id"],
+            }
+        )
+
+    n_buckets = max(8, 4 * int(ray.cluster_resources().get("CPU", 8)))
+    bucketed = add_hash_bucket_int(
+        events.map_batches(_us, batch_format="pyarrow"), "user_id", n_buckets
+    )
+
+    def _life(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "tus", "event_id"], kind="mergesort")
+        agg = g.groupby("user_id", sort=False).agg(
+            first_type=("event_type", "first"),
+            last_type=("event_type", "last"),
+            span_us=("tus", lambda s: s.iloc[-1] - s.iloc[0]),
+            n_events=("event_type", "size"),
+        )
+        agg["span_us"] = agg["span_us"].astype("int64")
+        agg["n_events"] = agg["n_events"].astype("int64")
+        return from_pandas_clean(agg.reset_index())
+
+    out = (
+        bucketed.groupby("__bucket").map_groups(_life, batch_format="pandas").to_pandas()
+    )
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def docs_inverted_index(sf_dir: str) -> pd.DataFrame:
+    """Inverted-index build (the IR / dedup-support structure): per term,
+    document frequency + the comma-joined posting list of doc_ids in
+    ascending order.  Plan: per-doc distinct terms (doc_term_freqs — one
+    row per (doc, term), exact per batch since a doc is one row) → ONE
+    hash(term) shuffle → per-group sort + join (ops.grouped_string_agg
+    would also fit; inlined here to emit df alongside).  Scale note: a
+    term's posting row holds ALL its doc_ids — real indexes shard hot
+    terms' lists; the df column is what you'd split on."""
+    from ..ops import add_hash_bucket
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    tf = ftext.doc_term_freqs(docs)  # (doc_id, term, tf) — (doc,term)-unique
+
+    bucketed = add_hash_bucket(tf, "term", 64)
+
+    def _post(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["term", "doc_id"], kind="mergesort")
+        agg = g.groupby("term", sort=False)["doc_id"].agg(
+            df="size", postings=lambda s: ",".join(s.astype(str))
+        )
+        agg["df"] = agg["df"].astype("int64")
+        return from_pandas_clean(agg.reset_index())
+
+    out = (
+        bucketed.groupby("__bucket").map_groups(_post, batch_format="pandas").to_pandas()
+    )
+    return out.sort_values("term").reset_index(drop=True)[["term", "df", "postings"]]
+
+
+def lineitem_pagerank(sf_dir: str, n_iter: int = 10, transport: str = "broadcast") -> pd.DataFrame:
+    """PageRank over the part↔supplier bipartite graph (distinct lineitem
+    (l_partkey, l_suppkey) pairs, both edge directions; supplier nodes
+    offset by 1e6 so the id spaces can't collide) — the crawl link-graph
+    analytics op exercised on driver testdata.  10 fixed iterations,
+    d=0.85; see functions/graph.py for the two rank-transport paths
+    (tests assert broadcast ≡ bucketed ≡ dense numpy).  Iterative →
+    rows-only driver check, pinned in tests/test_graph.py."""
+    from ..functions.graph import pagerank
+
+    li = _read(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+
+    def _edges(t: pa.Table) -> pa.Table:
+        p = t["l_partkey"].to_numpy().astype(np.int64)
+        s = t["l_suppkey"].to_numpy().astype(np.int64) + 1_000_000
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([p, s])),
+                "dst": pa.array(np.concatenate([s, p])),
+            }
+        )
+
+    edges = li.map_batches(_edges, batch_format="pyarrow")
+    out = pagerank(edges, n_iter=n_iter, transport=transport)
+    out["rank"] = out["rank"].round(10)
+    return out.sort_values("node").reset_index(drop=True)

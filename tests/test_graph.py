@@ -1,0 +1,93 @@
+"""PageRank (functions/graph.py): both rank-transport paths vs a dense
+numpy oracle, dangling-node mass handling, and the rows-only driver
+query's pinned properties."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+from crawler_uni_ray.functions.graph import pagerank
+
+
+def dense_pagerank(edge_list, n_iter=10, d=0.85):
+    nodes = sorted({s for s, _ in edge_list} | {t for _, t in edge_list})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    out = np.zeros(n, np.int64)
+    for s, _ in set(edge_list):
+        out[idx[s]] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(n_iter):
+        c = np.zeros(n)
+        for s, t in set(edge_list):
+            c[idx[t]] += r[idx[s]] / out[idx[s]]
+        dang = r[out == 0].sum()
+        r = (1 - d) / n + d * (c + dang / n)
+    return pd.DataFrame({"node": nodes, "rank": r})
+
+
+# a graph with a hub, a cycle, a dangling sink (6) and a dst-only node (7),
+# plus a duplicate edge (must be deduped before outdegree counting)
+EDGES = [(1, 2), (1, 3), (2, 3), (3, 1), (3, 4), (4, 5), (5, 4), (4, 6), (2, 7), (1, 2)]
+
+
+def _edges_ds():
+    return ray.data.from_items([{"src": s, "dst": t} for s, t in EDGES])
+
+
+@pytest.mark.parametrize("transport", ["broadcast", "bucketed"])
+def test_pagerank_matches_dense_oracle(ray_session, transport):
+    got = pagerank(_edges_ds(), n_iter=10, transport=transport)
+    want = dense_pagerank(EDGES, n_iter=10)
+    got = got.sort_values("node").reset_index(drop=True)
+    assert list(got["node"]) == list(want["node"])
+    np.testing.assert_allclose(got["rank"], want["rank"], atol=1e-12)
+    # ranks are a distribution (dangling mass redistributed, never lost)
+    assert got["rank"].sum() == pytest.approx(1.0, abs=1e-12)
+
+
+def test_pagerank_transports_agree(ray_session):
+    a = pagerank(_edges_ds(), n_iter=7, transport="broadcast")
+    b = pagerank(_edges_ds(), n_iter=7, transport="bucketed")
+    pd.testing.assert_frame_equal(
+        a.sort_values("node").reset_index(drop=True),
+        b.sort_values("node").reset_index(drop=True),
+        atol=1e-12,
+        check_exact=False,
+    )
+
+
+def test_pagerank_star_graph_known_answer(ray_session):
+    # N leaves all pointing at a hub; hub dangles.  Symmetry pins the
+    # leaf ranks equal; hub rank must exceed every leaf.
+    n_leaves = 5
+    edges = [(i, 100) for i in range(n_leaves)]
+    ds = ray.data.from_items([{"src": s, "dst": t} for s, t in edges])
+    got = pagerank(ds, n_iter=20, transport="broadcast").set_index("node")["rank"]
+    leaves = got[got.index != 100]
+    assert leaves.max() - leaves.min() < 1e-12
+    assert got[100] > leaves.max()
+    want = dense_pagerank(edges, n_iter=20).set_index("node")["rank"]
+    np.testing.assert_allclose(got.sort_index(), want.sort_index(), atol=1e-12)
+
+
+def test_lineitem_pagerank_query_pinned(ray_session):
+    """The driver query vs a dense recompute of the same bipartite graph
+    at sf0.001 — pins values, not just row counts."""
+    import duckdb
+
+    import __ray_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    got = entrymod.queries()["lineitem_pagerank"](sf)
+    pairs = duckdb.connect().execute(
+        f"SELECT DISTINCT l_partkey, l_suppkey FROM read_parquet('{sf}/lineitem.parquet')"
+    ).fetchall()
+    edges = [(p, s + 1_000_000) for p, s in pairs] + [
+        (s + 1_000_000, p) for p, s in pairs
+    ]
+    want = dense_pagerank(edges, n_iter=10)
+    got = got.sort_values("node").reset_index(drop=True)
+    assert list(got["node"]) == list(want["node"])
+    np.testing.assert_allclose(got["rank"], want["rank"], atol=1e-9)

@@ -75,6 +75,7 @@ ROWS_ONLY = [
     "docs_simhash",
     "url_canonicalize",
     "media_image_features",
+    "lineitem_pagerank",
 ]
 
 
