@@ -155,6 +155,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_lifetime": q.events_user_lifetime,
         "docs_inverted_index": q.docs_inverted_index,
         "lineitem_pagerank": q.lineitem_pagerank,
+        # actor-pool model inference, integer-exact z-score anomalies,
+        # global-percentile gate
+        "docs_model_score": q.docs_model_score,
+        "events_anomalies": q.events_anomalies,
+        "docs_above_p90": q.docs_above_p90,
     }
 
 
@@ -993,6 +998,41 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_events
             FROM events
             GROUP BY user_id ORDER BY user_id
+        """,
+        # Linear model scoring: identical products + same 3-term sum
+        # order on both engines; rounded to 6dp on both sides.
+        "docs_model_score": """
+            SELECT doc_id,
+                   ROUND(0.001 * n_chars
+                         + 0.05 * (LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1)
+                         - 0.2  * (LENGTH(text) - LENGTH(REPLACE(text, '.', '')))
+                         + 1.5, 6) AS score
+            FROM documents ORDER BY doc_id
+        """,
+        # 3σ outliers with NO float boundary: values are exact cents, so
+        # |v-m| > 3σ  ⇔  (n·vc − s1)² > 9·(n·s2 − s1²), all int64.
+        "events_anomalies": """
+            WITH c AS (
+                SELECT event_id, event_type,
+                       CAST(ROUND(value * 100) AS BIGINT) AS vc
+                FROM events
+            ), s AS (
+                SELECT event_type, COUNT(*) AS n, SUM(vc) AS s1,
+                       SUM(vc * vc) AS s2
+                FROM c GROUP BY 1
+            )
+            SELECT c.event_id, c.event_type, c.vc
+            FROM c JOIN s USING (event_type)
+            WHERE (s.n * c.vc - s.s1) * (s.n * c.vc - s.s1)
+                  > 9 * (s.n * s.s2 - s.s1 * s.s1)
+            ORDER BY c.event_id
+        """,
+        # Global-percentile gate: QUANTILE_DISC picks an actual data
+        # value (integer), so the threshold compare is exact.
+        "docs_above_p90": """
+            SELECT doc_id, n_chars FROM documents
+            WHERE n_chars >= (SELECT QUANTILE_DISC(n_chars, 0.9) FROM documents)
+            ORDER BY doc_id
         """,
         # Inverted index: distinct (doc, term) pairs, then per-term df +
         # the ordered posting list — element order pinned by doc_id so

@@ -2579,3 +2579,128 @@ def lineitem_pagerank(sf_dir: str, n_iter: int = 10, transport: str = "broadcast
     out = pagerank(edges, n_iter=n_iter, transport=transport)
     out["rank"] = out["rank"].round(10)
     return out.sort_values("node").reset_index(drop=True)
+
+
+def docs_model_score(sf_dir: str) -> pd.DataFrame:
+    """Learned-quality-filter shape: score every doc with a (fixed,
+    deterministic) linear model via the actor-pool inference stage
+    (functions/model.py — weights ray.put once, pulled per actor in
+    __init__, one matmul per batch).  Features are computed map-side in
+    the SAME batch pass (token count = spaces+1, sentence count = '.'
+    count, plus the n_chars column), so the whole query is shuffle-free
+    and streams.  Score rounds to 6dp in both engines."""
+    from ..functions.model import score_linear
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
+
+    def _features(t: pa.Table) -> pa.Table:
+        ntok = pc.add(pc.count_substring(t["text"], " "), pa.scalar(1))
+        ndot = pc.count_substring(t["text"], ".")
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_chars": t["n_chars"],
+                "n_tokens": pc.cast(ntok, pa.int64()),
+                "n_dots": pc.cast(ndot, pa.int64()),
+            }
+        )
+
+    feats = docs.map_batches(_features, batch_format="pyarrow")
+    scored = score_linear(
+        feats,
+        weights=[0.001, 0.05, -0.2],
+        bias=1.5,
+        feature_cols=["n_chars", "n_tokens", "n_dots"],
+        out_col="score",
+    )
+    out = scored.select_columns(["doc_id", "score"]).to_pandas()
+    out["score"] = out["score"].round(6)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def events_anomalies(sf_dir: str) -> pd.DataFrame:
+    """Per-type 3σ outliers, INTEGER-exact: values are cents (2dp), so
+    the z test |v-m| > 3σ becomes (n·vc − s1)² > 9·(n·s2 − s1²) — pure
+    int64 cross-multiplication, no float mean/std compare that could
+    flip boundary rows between engines.  Two passes over events: (1)
+    per-batch moment partials (type, n, Σvc, Σvc²) → one tiny combine →
+    the per-type moments broadcast via ray.put; (2) a shuffle-free
+    filter pass.  Magnitude guard: (n·vc)² must fit int64 — fine to
+    ~1e9 events per type at these value scales; past that, promote the
+    driver-side constants to Python ints and compare in two steps."""
+    events = _read(sf_dir, "events", columns=["event_id", "event_type", "value"])
+
+    def _cents(t: pa.Table) -> pa.Table:
+        vc = np.rint(t["value"].to_numpy() * 100.0).astype(np.int64)
+        return pa.table(
+            {"event_id": t["event_id"], "event_type": t["event_type"], "vc": pa.array(vc)}
+        )
+
+    cents = events.map_batches(_cents, batch_format="pyarrow")
+
+    def _moments(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {"event_type": t["event_type"].to_pylist(), "vc": t["vc"].to_numpy()}
+        )
+        df["vc2"] = df["vc"] * df["vc"]
+        g = df.groupby("event_type", as_index=False).agg(
+            n=("vc", "size"), s1=("vc", "sum"), s2=("vc2", "sum")
+        )
+        return from_pandas_clean(g)
+
+    from ray.data.aggregate import Sum
+
+    mom = (
+        cents.map_batches(_moments, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("n", alias_name="n"), Sum("s1", alias_name="s1"), Sum("s2", alias_name="s2"))
+        .to_pandas()
+    )
+    stats = {
+        r.event_type: (int(r.n), int(r.s1), int(r.s2)) for r in mom.itertuples()
+    }
+    ref = ray.put(stats)
+
+    def _flag(t: pa.Table, _ref=ref) -> pa.Table:
+        st = cached_get(_ref)
+        # factorize once per batch; constants gather per UNIQUE type only
+        codes, uniq = pd.factorize(pd.Series(t["event_type"].to_pylist()))
+        n_u = np.array([st[x][0] for x in uniq], np.int64)
+        s1_u = np.array([st[x][1] for x in uniq], np.int64)
+        rhs_u = np.array(
+            [9 * (st[x][0] * st[x][2] - st[x][1] ** 2) for x in uniq], np.int64
+        )
+        vc = t["vc"].to_numpy()
+        lhs = n_u[codes] * vc - s1_u[codes]
+        return t.filter(pa.array(lhs * lhs > rhs_u[codes]))
+
+    out = cents.map_batches(_flag, batch_format="pyarrow").to_pandas()
+    out = _ensure_cols(out, {"event_id": "int64", "event_type": "str", "vc": "int64"})
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def docs_above_p90(sf_dir: str) -> pd.DataFrame:
+    """Global-percentile quality gate: keep docs whose n_chars is ≥ the
+    corpus-wide QUANTILE_DISC(0.9).  The threshold comes from the value
+    HISTOGRAM (groupby(n_chars).count — bounded by the value domain, Ray
+    pre-aggregates per block), picked with the same cum-count ≥ ceil(q·n)
+    rule ops.grouped_quantiles_disc proved against DuckDB; the second
+    pass is a shuffle-free filter against the broadcast scalar."""
+    import math
+
+    from ray.data.aggregate import Count
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    hist = (
+        docs.groupby("n_chars").aggregate(Count(alias_name="cnt")).to_pandas()
+    ).sort_values("n_chars")
+    cum = hist["cnt"].to_numpy(np.int64).cumsum()
+    n = int(cum[-1])
+    k = max(math.ceil(round(0.9 * n, 9)), 1)
+    thresh = int(hist["n_chars"].to_numpy()[int(np.searchsorted(cum, k))])
+
+    def _keep(t: pa.Table, _t=thresh) -> pa.Table:
+        return t.filter(pc.greater_equal(t["n_chars"], pa.scalar(_t)))
+
+    out = docs.map_batches(_keep, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)[["doc_id", "n_chars"]]
