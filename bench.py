@@ -256,6 +256,11 @@ def bench_queries() -> dict:
         ("docs_decontaminate", q.docs_decontaminate),
         ("docs_dup_spans", q.docs_dup_spans),
         ("embeddings_semdedup", q.embeddings_semdedup),
+        ("events_retention", q.events_retention),
+        ("docs_pack_chunks", q.docs_pack_chunks),
+        ("events_anomalies", q.events_anomalies),
+        ("docs_model_score", q.docs_model_score),
+        ("lineitem_pagerank", q.lineitem_pagerank),
     ]:
         t0 = time.time()
         fn(SF_DIR)
@@ -264,7 +269,35 @@ def bench_queries() -> dict:
     out.update(bench_ann_ivf_200k())
     out.update(bench_dedup_scale())
     out.update(bench_semdedup_scale())
+    out.update(bench_pagerank_scale())
     return out
+
+
+def bench_pagerank_scale(n_edges: int = 1_000_000, n_nodes: int = 100_000) -> dict:
+    """PageRank on the BUCKETED (fully distributed) rank transport at a
+    width the sf0.1 lineitem graph can't reach: 1M deterministic edges
+    over 100k nodes, 3 iterations.  Edges hash-shuffle ONCE; each
+    iteration then moves only node-sized rank rows — this probe times
+    the per-iteration co-group + combine machinery, the 100 TB path."""
+    import numpy as np
+    import ray.data
+
+    from crawler_uni_ray.functions.graph import pagerank
+
+    def _gen(b):
+        ids = b["id"].astype(np.int64)
+        src = (ids * 2654435761) % n_nodes
+        dst = (ids * 40503 + 17) % n_nodes
+        return {"src": src, "dst": dst}
+
+    edges = ray.data.range(n_edges, override_num_blocks=64).map_batches(
+        _gen, batch_size=16384
+    )
+    t0 = time.time()
+    ranks = pagerank(edges, n_iter=3, transport="bucketed")
+    dt = round(time.time() - t0, 3)
+    assert len(ranks) == n_nodes and abs(ranks["rank"].sum() - 1.0) < 1e-6
+    return {"pagerank_1m_sec": dt}
 
 
 def bench_dedup_scale(n: int = 100_000) -> dict:

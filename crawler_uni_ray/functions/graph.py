@@ -96,7 +96,9 @@ def pagerank(
         edges = _distinct_edges(edges, src_col, dst_col, n_buckets)
     edges = edges.materialize()  # iterated over n_iter times — pin it
 
-    nodes = _node_table(edges, src_col, dst_col)
+    # materialize: the node table feeds the zero-fill union EVERY
+    # iteration on the bucketed path — lazy, its groupby would re-run
+    nodes = _node_table(edges, src_col, dst_col).materialize()
     if transport == "auto":
         transport = "bucketed" if nodes.count() > broadcast_max_nodes else "broadcast"
     if transport == "broadcast":
@@ -185,16 +187,32 @@ def _pagerank_bucketed(
 
     ranks_ds = nodes.map_batches(_init, batch_format="pyarrow").materialize()
 
-    for _ in range(n_iter):
-        def _dang_partial(t: pa.Table) -> pa.Table:
-            deg = t["outdeg"].to_numpy()
-            r = t["rank"].to_numpy()
-            return pa.table({"s": pa.array([float(r[deg == 0].sum())])})
+    # one upfront count: a graph with NO sinks (common after symmetrizing
+    # a link graph) skips the per-iteration dangling reduction entirely
+    def _ndang(t: pa.Table) -> pa.Table:
+        deg = t["outdeg"].to_numpy()
+        return pa.table({"n": pa.array([int((deg == 0).sum())])})
 
-        dang_row = ranks_ds.map_batches(
-            _dang_partial, batch_format="pyarrow"
-        ).aggregate(Sum("s", alias_name="s"))
-        dangling = float(dang_row["s"] or 0.0)
+    n_dangling = int(
+        nodes.map_batches(_ndang, batch_format="pyarrow").aggregate(
+            Sum("n", alias_name="n")
+        )["n"]
+        or 0
+    )
+
+    for _ in range(n_iter):
+        if n_dangling == 0:
+            dangling = 0.0
+        else:
+            def _dang_partial(t: pa.Table) -> pa.Table:
+                deg = t["outdeg"].to_numpy()
+                r = t["rank"].to_numpy()
+                return pa.table({"s": pa.array([float(r[deg == 0].sum())])})
+
+            dang_row = ranks_ds.map_batches(
+                _dang_partial, batch_format="pyarrow"
+            ).aggregate(Sum("s", alias_name="s"))
+            dangling = float(dang_row["s"] or 0.0)
 
         def _tag_rank(t: pa.Table) -> pa.Table:
             deg = t["outdeg"].to_numpy().astype(np.float64)
