@@ -160,6 +160,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_model_score": q.docs_model_score,
         "events_anomalies": q.events_anomalies,
         "docs_above_p90": q.docs_above_p90,
+        # behavioral bigrams, incremental-ingest dedup, group-wise
+        # standardization
+        "events_transitions": q.events_transitions,
+        "docs_incremental_new": q.docs_incremental_new,
+        "docs_chars_zscore": q.docs_chars_zscore,
     }
 
 
@@ -1033,6 +1038,46 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_chars FROM documents
             WHERE n_chars >= (SELECT QUANTILE_DISC(n_chars, 0.9) FROM documents)
             ORDER BY doc_id
+        """,
+        # Markov transition counts: LEAD over the per-user ordered stream.
+        "events_transitions": """
+            WITH o AS (
+                SELECT user_id, event_type,
+                       LEAD(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS next_type
+                FROM events
+            )
+            SELECT event_type, next_type, COUNT(*) AS n
+            FROM o WHERE next_type IS NOT NULL
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # Incremental-ingest dedup: engine compares 64-bit content
+        # hashes, the oracle compares strings — equal unless two
+        # distinct texts collide in 64 bits.
+        "docs_incremental_new": """
+            SELECT doc_id FROM documents d
+            WHERE NOT EXISTS (
+                SELECT 1 FROM documents b
+                WHERE b.doc_id % 10 = 0 AND b.text = d.text
+            )
+            ORDER BY doc_id
+        """,
+        # Group-wise z-score from integer moments: both engines feed the
+        # IDENTICAL int64s into the same formula, so the doubles match
+        # bit-for-bit before the 6dp round.
+        "docs_chars_zscore": """
+            WITH s AS (
+                SELECT lang, COUNT(*) AS n, SUM(n_chars) AS s1,
+                       SUM(n_chars * n_chars) AS s2
+                FROM documents GROUP BY 1
+            )
+            SELECT d.doc_id, d.lang,
+                   ROUND((s.n * d.n_chars - s.s1)
+                         / SQRT(CAST(s.n * s.s2 - s.s1 * s.s1 AS DOUBLE)),
+                         6) AS z
+            FROM documents d JOIN s USING (lang)
+            ORDER BY d.doc_id
         """,
         # Inverted index: distinct (doc, term) pairs, then per-term df +
         # the ordered posting list — element order pinned by doc_id so

@@ -2704,3 +2704,145 @@ def docs_above_p90(sf_dir: str) -> pd.DataFrame:
 
     out = docs.map_batches(_keep, batch_format="pyarrow").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)[["doc_id", "n_chars"]]
+
+
+def events_transitions(sf_dir: str) -> pd.DataFrame:
+    """Per-user behavioral bigrams (Markov transition counts): for each
+    user's (ts, event_id)-ordered event stream, count global
+    (event_type → next_type) pairs — SQL LEAD() + GROUP BY.  ONE
+    hash(user) bucketed shuffle; per bucket a single stable lexsort +
+    vectorized shift builds every user's consecutive pairs, pre-counted
+    per bucket so the driver combines ≤ n_buckets × |type|² partial
+    rows."""
+    from ..ops import add_hash_bucket_int
+
+    events = _read(sf_dir, "events", columns=["user_id", "ts", "event_type", "event_id"])
+
+    def _us(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "tus": pc.cast(t["ts"], pa.int64()),
+                "event_type": t["event_type"],
+                "event_id": t["event_id"],
+            }
+        )
+
+    n_buckets = max(8, 4 * int(ray.cluster_resources().get("CPU", 8)))
+    bucketed = add_hash_bucket_int(
+        events.map_batches(_us, batch_format="pyarrow"), "user_id", n_buckets
+    )
+
+    def _pairs(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "tus", "event_id"], kind="mergesort")
+        nxt = g["event_type"].shift(-1)
+        same = g["user_id"].shift(-1) == g["user_id"]
+        p = pd.DataFrame(
+            {"event_type": g["event_type"][same], "next_type": nxt[same]}
+        )
+        out = (
+            p.groupby(["event_type", "next_type"], sort=False)
+            .size().rename("n").reset_index()
+        )
+        return from_pandas_clean(out)
+
+    parts = (
+        bucketed.groupby("__bucket").map_groups(_pairs, batch_format="pandas").to_pandas()
+    )
+    out = (
+        parts.groupby(["event_type", "next_type"], sort=True)["n"].sum().reset_index()
+    )
+    out["n"] = out["n"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+def docs_incremental_new(sf_dir: str) -> pd.DataFrame:
+    """Incremental-ingest dedup: keep only docs whose text does NOT
+    already appear in the prior corpus snapshot (stand-in: the
+    ``doc_id % 10 == 0`` slice).  The snapshot's distinct 64-bit content
+    hashes collect once and broadcast (``ray.put``); the corpus pass is
+    a shuffle-free searchsorted membership filter — the pattern for
+    daily crawl refreshes where yesterday's hash set is a sideline
+    artifact, not a join side.  Equality is by content hash; the SQL
+    oracle compares strings (a mismatch needs a 64-bit collision)."""
+    from ..functions.dedup import content_hash_batch
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _prior_hashes(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        sub = t.filter(pa.array(ids % 10 == 0))
+        h = np.unique(content_hash_batch(pd.Series(sub["text"].to_pylist())))
+        return pa.table({"h": pa.array(h.astype(np.int64))})
+
+    prior = np.unique(
+        np.concatenate(
+            [
+                b["h"].to_numpy()
+                for b in docs.map_batches(
+                    _prior_hashes, batch_format="pyarrow"
+                ).iter_batches(batch_format="pyarrow")
+            ]
+            or [np.array([], np.int64)]
+        )
+    )
+    ref = ray.put(prior)
+
+    def _new_only(t: pa.Table, _ref=ref) -> pa.Table:
+        ph = cached_get(_ref)
+        h = content_hash_batch(pd.Series(t["text"].to_pylist())).astype(np.int64)
+        idx = np.searchsorted(ph, h)
+        idx = np.clip(idx, 0, max(len(ph) - 1, 0))
+        hit = (len(ph) > 0) & (ph[idx] == h)
+        return t.filter(pa.array(~hit))
+
+    out = docs.map_batches(_new_only, batch_format="pyarrow").to_pandas()
+    out = _ensure_cols(out, {"doc_id": "int64", "text": "str"})
+    return out.sort_values("doc_id").reset_index(drop=True)[["doc_id"]]
+
+
+def docs_chars_zscore(sf_dir: str) -> pd.DataFrame:
+    """Group-wise feature standardization (per-lang z-score of n_chars)
+    with NO engine-dependent float stats: z = (n·v − s1)/√(n·s2 − s1²)
+    — numerator and the sqrt argument are exact int64 on both engines,
+    so both compute the identical double.  Pass 1: per-lang integer
+    moment partials → tiny combine → broadcast; pass 2: shuffle-free
+    map.  (Same cross-multiplication trick as events_anomalies, here
+    producing the value, not just the comparison.)"""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+
+    def _moments(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {"lang": t["lang"].to_pylist(), "v": t["n_chars"].to_numpy()}
+        )
+        df["v2"] = df["v"] * df["v"]
+        g = df.groupby("lang", as_index=False).agg(
+            n=("v", "size"), s1=("v", "sum"), s2=("v2", "sum")
+        )
+        return from_pandas_clean(g)
+
+    from ray.data.aggregate import Sum
+
+    mom = (
+        docs.map_batches(_moments, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("n", alias_name="n"), Sum("s1", alias_name="s1"), Sum("s2", alias_name="s2"))
+        .to_pandas()
+    )
+    stats = {r.lang: (int(r.n), int(r.s1), int(r.s2)) for r in mom.itertuples()}
+    ref = ray.put(stats)
+
+    def _z(t: pa.Table, _ref=ref) -> pa.Table:
+        st = cached_get(_ref)
+        codes, uniq = pd.factorize(pd.Series(t["lang"].to_pylist()))
+        n_u = np.array([st[x][0] for x in uniq], np.int64)
+        s1_u = np.array([st[x][1] for x in uniq], np.int64)
+        den_u = np.sqrt((n_u * np.array([st[x][2] for x in uniq], np.int64) - s1_u * s1_u).astype(np.float64))
+        v = t["n_chars"].to_numpy()
+        z = (n_u[codes] * v - s1_u[codes]) / den_u[codes]
+        return pa.table(
+            {"doc_id": t["doc_id"], "lang": t["lang"], "z": pa.array(np.round(z, 6))}
+        )
+
+    out = docs.map_batches(_z, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
