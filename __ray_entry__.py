@@ -143,6 +143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": q.events_funnel,
         "embeddings_semdedup": q.embeddings_semdedup,
         "docs_dup_spans": q.docs_dup_spans,
+        "docs_collocations": q.docs_collocations,
         "orders_price_quartiles_cont": q.orders_price_quartiles_cont,
         # round-5 final session: retention / packing / domain-mix
         "events_retention": q.events_retention,
@@ -893,6 +894,30 @@ def oracle_sql() -> dict[str, str]:
                 FROM orders
             )
             GROUP BY o_custkey ORDER BY o_custkey
+        """,
+        # Adjacent-bigram collocations: exact integer sufficient statistics
+        # (n_xy, n_x, n_y) for PMI-style scoring; single-space tokenization
+        # on both sides.
+        "docs_collocations": """
+            WITH t AS (
+              SELECT doc_id, string_split(text, ' ') AS l FROM documents
+            ), idx AS (
+              SELECT doc_id, l, unnest(range(1, len(l))) AS i FROM t
+            ), big AS (
+              SELECT l[i] AS w1, l[i+1] AS w2 FROM idx
+            ), uni AS (
+              SELECT unnest(l) AS term FROM t
+            ), un AS (
+              SELECT term, COUNT(*)::BIGINT AS n FROM uni GROUP BY 1
+            ), bc AS (
+              SELECT w1, w2, COUNT(*)::BIGINT AS n_xy FROM big
+              GROUP BY 1, 2 HAVING COUNT(*) >= 5
+            )
+            SELECT bc.w1, bc.w2, bc.n_xy, ux.n AS n_x, uy.n AS n_y
+            FROM bc
+            JOIN un ux ON ux.term = bc.w1
+            JOIN un uy ON uy.term = bc.w2
+            ORDER BY w1, w2
         """,
         # Duplicate-span mining: per doc, its distinct 10-token spans that
         # occur in >= 2 docs.  Same hash-vs-string shingle equality caveat

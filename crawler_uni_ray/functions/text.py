@@ -586,3 +586,147 @@ def add_text_normalized(ds: Dataset, text_col: str = "text",
         return t.append_column(out_col, normalize_text_array(t[text_col]))
 
     return ds.map_batches(_f, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------ collocations
+
+
+def collocation_counts(
+    ds: Dataset,
+    min_count: int = 5,
+    text_col: str = "text",
+    n_buckets: int | None = None,
+) -> Dataset:
+    """Corpus-wide adjacent-bigram collocation counts: one row per bigram
+    with ``n_xy >= min_count``, carrying the global unigram counts of both
+    words — ``(w1, w2, n_xy, n_x, n_y)``, all exact int64, from which PMI
+    / log-likelihood collocation scores derive with zero further passes.
+    Tokenization is a single-space split (bit-compatible with SQL
+    ``string_split(text, ' ')``).
+
+    Plan (the tf·idf join-free co-group shape, tfidf_top_terms above):
+    per-batch PARTIAL counts — the combiner that bounds both shuffles by
+    the per-block vocabulary, never the raw token stream — then TWO
+    hash co-group shuffles over count rows only.  Bucketing on ``w1``
+    co-locates every partial of a bigram with every partial of its left
+    word (same key, same hash), so the global sums AND the ``n_x`` attach
+    both resolve inside the first shuffle; the summed unigram rows pass
+    through re-keyed on the term so the second shuffle (on ``w2``)
+    attaches ``n_y`` the same way.  No join operator, no driver pass,
+    text payloads never enter an all-to-all."""
+    import pyarrow as pa
+    import ray as _ray
+
+    from ..ops import add_hash_bucket
+    from ..util import from_pandas_clean
+
+    if n_buckets is None:
+        n_buckets = max(8, 2 * int(_ray.cluster_resources().get("CPU", 8)))
+
+    # explicit schemas: empty pandas object columns would otherwise infer
+    # as Arrow null type and mismatch non-empty blocks in the shuffle
+    part_schema = pa.schema(
+        [("kind", pa.int64()), ("w1", pa.string()), ("w2", pa.string()),
+         ("n", pa.int64())]
+    )
+    s1_schema = pa.schema(
+        [("kind", pa.int64()), ("k", pa.string()), ("w1", pa.string()),
+         ("w2", pa.string()), ("n_xy", pa.int64()), ("n_x", pa.int64())]
+    )
+    out_schema = pa.schema(
+        [("w1", pa.string()), ("w2", pa.string()), ("n_xy", pa.int64()),
+         ("n_x", pa.int64()), ("n_y", pa.int64())]
+    )
+
+    def _partials(df: pd.DataFrame):
+        lists = df[text_col].fillna("").str.split(" ")
+        e = lists.explode()
+        toks = e.to_numpy()
+        idx = e.index.to_numpy()
+        uni = pd.Series(toks).value_counts()
+        frames = [
+            pd.DataFrame(
+                {
+                    "kind": np.zeros(len(uni), np.int64),
+                    "w1": uni.index.astype(str),
+                    "w2": "",
+                    "n": uni.to_numpy(np.int64),
+                }
+            )
+        ]
+        if len(toks) >= 2:
+            m = idx[:-1] == idx[1:]  # drop pairs that straddle two docs
+            bg = pd.DataFrame({"w1": toks[:-1][m], "w2": toks[1:][m]})
+            bc = bg.groupby(["w1", "w2"], sort=False).size().reset_index(name="n")
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "kind": np.ones(len(bc), np.int64),
+                        "w1": bc["w1"].astype(str),
+                        "w2": bc["w2"].astype(str),
+                        "n": bc["n"].to_numpy(np.int64),
+                    }
+                )
+            )
+        return from_pandas_clean(pd.concat(frames, ignore_index=True), part_schema)
+
+    parts = ds.map_batches(_partials, batch_format="pandas")
+
+    def _attach_nx(g: pd.DataFrame):
+        u = g.loc[g["kind"] == 0].groupby("w1")["n"].sum()
+        b = (
+            g.loc[g["kind"] == 1]
+            .groupby(["w1", "w2"], sort=False)["n"]
+            .sum()
+            .reset_index()
+        )
+        b = b.loc[b["n"] >= min_count]
+        out_b = pd.DataFrame(
+            {
+                "kind": np.ones(len(b), np.int64),
+                "k": b["w2"].astype(str),
+                "w1": b["w1"].astype(str),
+                "w2": b["w2"].astype(str),
+                "n_xy": b["n"].to_numpy(np.int64),
+                "n_x": b["w1"].map(u).to_numpy(np.int64),
+            }
+        )
+        out_u = pd.DataFrame(
+            {
+                "kind": np.zeros(len(u), np.int64),
+                "k": u.index.astype(str),
+                "w1": u.index.astype(str),
+                "w2": "",
+                "n_xy": u.to_numpy(np.int64),
+                "n_x": np.zeros(len(u), np.int64),
+            }
+        )
+        return from_pandas_clean(pd.concat([out_b, out_u], ignore_index=True), s1_schema)
+
+    s1 = (
+        add_hash_bucket(parts, "w1", n_buckets)
+        .groupby("__bucket")
+        .map_groups(_attach_nx, batch_format="pandas")
+    )
+
+    def _attach_ny(g: pd.DataFrame):
+        u = g.loc[g["kind"] == 0].set_index("k")["n_xy"]
+        b = g.loc[g["kind"] == 1]
+        return from_pandas_clean(
+            pd.DataFrame(
+                {
+                    "w1": b["w1"].astype(str),
+                    "w2": b["w2"].astype(str),
+                    "n_xy": b["n_xy"].to_numpy(np.int64),
+                    "n_x": b["n_x"].to_numpy(np.int64),
+                    "n_y": b["k"].map(u).to_numpy(np.int64),
+                }
+            ),
+            out_schema,
+        )
+
+    return (
+        add_hash_bucket(s1, "k", n_buckets)
+        .groupby("__bucket")
+        .map_groups(_attach_ny, batch_format="pandas")
+    )

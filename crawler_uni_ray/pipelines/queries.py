@@ -2846,3 +2846,18 @@ def docs_chars_zscore(sf_dir: str) -> pd.DataFrame:
 
     out = docs.map_batches(_z, batch_format="pyarrow").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def docs_collocations(sf_dir: str, min_count: int = 5) -> pd.DataFrame:
+    """Adjacent-bigram collocation mining (functions/text.py:
+    collocation_counts): every bigram with global count >= min_count plus
+    both words' global unigram counts — the exact integer sufficient
+    statistics for PMI / log-likelihood collocation scoring.  Two
+    vocab-bounded co-group shuffles, no join operator, no driver pass."""
+    ds = _read(sf_dir, "documents", columns=["text"])
+    out = ftext.collocation_counts(ds, min_count=min_count).to_pandas()
+    out = _ensure_cols(
+        out,
+        {"w1": "str", "w2": "str", "n_xy": "int64", "n_x": "int64", "n_y": "int64"},
+    )
+    return out.sort_values(["w1", "w2"]).reset_index(drop=True)
