@@ -913,3 +913,128 @@ def dedup_near_keep_first(
             pa.table({id_col: pa.array(loser_ids, pa.int64())})
         )
     return anti_join_shuffled(ds, losers, id_col)
+
+
+def dedup_near_keep_best(
+    ds: Dataset,
+    docs_path: str,
+    score_col: str,
+    threshold: float = 0.5,
+    n_hashes: int = 64,
+    bands: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_driver_pairs: int = 2_000_000,
+    n_buckets: int = 64,
+) -> Dataset:
+    """Near-duplicate removal keeping each cluster's BEST row by
+    ``score_col`` (max score, ties broken by min id) — the quality-aware
+    form of ``dedup_near_keep_first`` above: a real training-data pipeline
+    keeps the highest-quality member of a duplicate cluster, not the one
+    with the smallest id.  Same LSH → indexed-verify → connected-components
+    machinery; winner selection adds two THIN all-to-alls over
+    (node, cluster, score) rows — 24 B/row, document payloads never move:
+
+    1. cluster-membership rows co-group with the corpus's (id, score)
+       projection on ``hash(id)`` to attach scores (no join operator;
+       ids are unique on the score side so the attach is a dict lookup
+       inside the bucket),
+    2. ``hash(cluster)`` groups pick the winner per cluster and emit the
+       losers,
+    3. one bucketed anti-join of the input against the loser id set.
+    """
+    import ray
+    import ray.data
+
+    from ..ops import add_hash_bucket_int, anti_join_shuffled
+    from ..util import from_pandas_clean
+
+    pairs = minhash_lsh_candidates(
+        ds, n_hashes=n_hashes, bands=bands, id_col=id_col, text_col=text_col
+    )
+    verified = verify_pairs_jaccard_indexed(pairs, docs_path, threshold).materialize()
+    if verified.count() > max_driver_pairs:
+        members = connected_components_distributed(verified)
+    else:
+        v = verified.to_pandas()
+        comp = connected_components(
+            list(zip(v["id_a"].astype(int), v["id_b"].astype(int))) if len(v) else []
+        )
+        nodes = sorted(comp)
+        members = ray.data.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array(nodes, pa.int64()),
+                    "cluster_id": pa.array([comp[n] for n in nodes], pa.int64()),
+                }
+            )
+        )
+
+    # tagged union: side 0 = (id, score) projection, side 1 = membership
+    def _score_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": t[id_col].cast(pa.int64()),
+                "cluster_id": pa.array(
+                    np.full(t.num_rows, -1, np.int64)
+                ),
+                "score": t[score_col].cast(pa.float64()),
+            }
+        )
+
+    def _member_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": t["node"].cast(pa.int64()),
+                "cluster_id": t["cluster_id"].cast(pa.int64()),
+                "score": pa.array(np.full(t.num_rows, np.nan, np.float64)),
+            }
+        )
+
+    tagged = ds.map_batches(_score_rows, batch_format="pyarrow").union(
+        members.map_batches(_member_rows, batch_format="pyarrow")
+    )
+
+    scored_schema = pa.schema(
+        [("node", pa.int64()), ("cluster_id", pa.int64()), ("score", pa.float64())]
+    )
+
+    def _attach(g: pd.DataFrame):
+        s = g.loc[g["cluster_id"] < 0].set_index("node")["score"]
+        m = g.loc[g["cluster_id"] >= 0]
+        return from_pandas_clean(
+            pd.DataFrame(
+                {
+                    "node": m["node"].to_numpy(np.int64),
+                    "cluster_id": m["cluster_id"].to_numpy(np.int64),
+                    "score": m["node"].map(s).to_numpy(np.float64),
+                }
+            ),
+            scored_schema,
+        )
+
+    scored = (
+        add_hash_bucket_int(tagged, "node", n_buckets)
+        .groupby("__bucket")
+        .map_groups(_attach, batch_format="pandas")
+    )
+
+    loser_schema = pa.schema([(id_col, pa.int64())])
+
+    def _losers(g: pd.DataFrame):
+        g = g.sort_values(
+            ["cluster_id", "score", "node"], ascending=[True, False, True],
+            kind="mergesort",
+        )
+        # winner = first row per cluster after (score desc, node asc)
+        lose = g.loc[g["cluster_id"].duplicated(keep="first"), "node"]
+        return from_pandas_clean(
+            pd.DataFrame({id_col: lose.to_numpy(np.int64)}), loser_schema
+        )
+
+    losers = (
+        add_hash_bucket_int(scored, "cluster_id", n_buckets)
+        .groupby("__bucket")
+        .map_groups(_losers, batch_format="pandas")
+    )
+    return anti_join_shuffled(ds, losers, id_col)

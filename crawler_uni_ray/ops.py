@@ -460,6 +460,18 @@ def _presence_join(
 ) -> Dataset:
     lschema = left.schema()
     pa_schema = getattr(lschema, "base_schema", None)
+    if pa_schema is not None and not isinstance(pa_schema, pa.Schema):
+        # pandas-block upstream (e.g. a quality-scored corpus): reconstruct
+        # Arrow types from the PandasBlockSchema dtypes; object columns are
+        # strings throughout this codebase
+        fields = []
+        for name, typ in zip(pa_schema.names, pa_schema.types):
+            try:
+                at = pa.from_numpy_dtype(typ)
+            except (pa.ArrowNotImplementedError, TypeError, ValueError):
+                at = pa.string()
+            fields.append(pa.field(name, at))
+        pa_schema = pa.schema(fields)
     lcols = list(lschema.names)
 
     def _tag(flag: int):

@@ -2861,3 +2861,19 @@ def docs_collocations(sf_dir: str, min_count: int = 5) -> pd.DataFrame:
         {"w1": "str", "w2": "str", "n_xy": "int64", "n_x": "int64", "n_y": "int64"},
     )
     return out.sort_values(["w1", "w2"]).reset_index(drop=True)
+
+
+def docs_dedup_keep_best(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
+    """Quality-aware near-duplicate removal (functions/dedup.py:
+    dedup_near_keep_best): each MinHash-LSH cluster keeps its
+    HIGHEST-quality member (tie → min doc_id) instead of the min-id one —
+    what a real training-data pipeline wants from fuzzy dedup.  Pinned
+    local oracle: cluster winners recomputed from docs_minhash_clusters ×
+    docs_quality (tests/test_local_oracles.py)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    scored = ftext.add_quality_score(ds)
+    out = fdedup.dedup_near_keep_best(
+        scored, _t(sf_dir, "documents"), "quality", threshold
+    ).to_pandas()
+    out = _ensure_cols(out[["doc_id"]], {"doc_id": "int64"})
+    return out.sort_values("doc_id").reset_index(drop=True)

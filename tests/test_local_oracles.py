@@ -531,3 +531,24 @@ def test_pin_embeddings_semdedup(ray_session):
     want = pd.DataFrame(sorted(rows), columns=["vec_id", "cluster"])
     assert len(got) < len(emb)  # tau=0.35 really prunes on this corpus
     _eq(got, want)
+
+
+def test_pin_docs_dedup_keep_best(ray_session):
+    """Quality-aware fuzzy-dedup survivors ≡ cluster winners recomputed
+    driver-side from docs_minhash_clusters × docs_quality (max quality,
+    tie → min doc_id) — and at least one cluster's winner differs from
+    keep-first's min-id choice (the sf0.001 near-dup groups have
+    non-uniform quality), so the policy actually bites."""
+    got = Q.docs_dedup_keep_best(SF)
+    clusters = Q.docs_minhash_clusters(SF)
+    quality = Q.docs_quality(SF).set_index("doc_id")["quality"]
+    c = clusters.copy()
+    c["q"] = c["doc_id"].map(quality)
+    c = c.sort_values(
+        ["cluster_id", "q", "doc_id"], ascending=[True, False, True], kind="mergesort"
+    )
+    winners = sorted(c.groupby("cluster_id", sort=False).head(1)["doc_id"])
+    want = pd.DataFrame({"doc_id": winners})
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), want, check_dtype=False)
+    keep_first = set(Q.docs_dedup_fuzzy(SF)["doc_id"])
+    assert set(got["doc_id"]) != keep_first

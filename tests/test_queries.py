@@ -69,6 +69,7 @@ ROWS_ONLY = [
     "docs_fingerprint",
     "docs_minhash_clusters",
     "docs_dedup_fuzzy",
+    "docs_dedup_keep_best",
     "docs_training_pipeline",
     "embeddings_ann_ivf_persisted",
     "embeddings_ann_lsh_persisted",
