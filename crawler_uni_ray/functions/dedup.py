@@ -1038,3 +1038,210 @@ def dedup_near_keep_best(
         .map_groups(_losers, batch_format="pandas")
     )
     return anti_join_shuffled(ds, losers, id_col)
+
+
+# ------------------------------------------------ content-defined chunking
+
+# Deterministic 64-bit gear table (seeded, public Gear/FastCDC construction
+# — Xia et al., "FastCDC", USENIX ATC'16).  The rolling hash
+# h_i = (h_{i-1} << 1) + GEAR[b_i]  (mod 2^64)
+# self-windows at 64 bytes: a byte's contribution leaves the low 64 bits
+# after 64 shifts, so h_i == sum_{k=0..63} GEAR[b_{i-k}] << k exactly.
+_GEAR_RS = np.random.RandomState(0x6EA12)
+GEAR = (
+    _GEAR_RS.randint(0, 2**32, 256).astype(np.uint64) << np.uint64(32)
+) | _GEAR_RS.randint(0, 2**32, 256).astype(np.uint64)
+
+
+def gear_hash_positions(data: np.ndarray) -> np.ndarray:
+    """Vectorized rolling gear hash at every byte position: 64 shifted adds
+    over the whole (concatenated) byte array — no per-byte Python loop.
+    Positions fewer than 63 bytes into a document see bytes of the PREVIOUS
+    document in the concatenation; callers must reject boundaries at
+    in-doc offsets < 63 (``min_size >= 64`` does this for free), making
+    the concatenated computation exact."""
+    g = GEAR[data]
+    h = g.copy()
+    for k in range(1, 64):
+        h[k:] += g[: len(g) - k] << np.uint64(k)
+    return h
+
+
+def _cdc_cuts(
+    cands: np.ndarray, n: int, min_size: int, max_size: int
+) -> list[int]:
+    """Greedy boundary selection over sorted candidate END positions: the
+    next cut is the first candidate giving a chunk in [min_size, max_size],
+    else a forced cut at max_size; the tail stays uncut.  Loop iterations
+    = number of chunks, never bytes."""
+    cuts: list[int] = []
+    cur = 0
+    while cur < n:
+        lo = int(np.searchsorted(cands, cur + min_size - 1, "left"))
+        hi = int(np.searchsorted(cands, cur + max_size - 1, "right"))
+        if lo < hi and int(cands[lo]) + 1 < n:
+            cur = int(cands[lo]) + 1
+        elif n - cur > max_size:
+            cur = cur + max_size
+        else:
+            break
+        cuts.append(cur)
+    return cuts
+
+
+def cdc_chunk_rows(
+    ds: Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mask_bits: int = 5,
+    min_size: int = 64,
+    max_size: int = 1024,
+) -> Dataset:
+    """Content-defined chunking: one row per chunk —
+    ``(doc_id, chunk_idx, chunk_hash, chunk_len)``.  Byte-shift-robust
+    dedup unit for binary-ish payloads: an insertion early in a document
+    moves only the chunks it touches, unlike fixed spans.  Per batch the
+    gear hash is ONE vectorized pass over the concatenated bytes (see
+    ``gear_hash_positions``); the per-chunk work (boundary walk + blake2b
+    of the chunk slice) is proportional to chunks, not bytes.
+    ``min_size`` must be >= 64 so concatenation never contaminates an
+    accepted boundary."""
+    from ..util import ensure_min_blocks, from_pandas_clean
+
+    if min_size < 64:
+        raise ValueError("min_size must be >= 64 (gear window exactness)")
+    mask = np.uint64((1 << mask_bits) - 1)
+
+    schema = pa.schema(
+        [
+            (id_col, pa.int64()),
+            ("chunk_idx", pa.int64()),
+            ("chunk_hash", pa.int64()),
+            ("chunk_len", pa.int64()),
+        ]
+    )
+
+    def _chunks(df: pd.DataFrame):
+        bufs = [t.encode("utf-8") for t in df[text_col].fillna("")]
+        lens = np.fromiter((len(b) for b in bufs), np.int64, count=len(bufs))
+        if lens.sum() == 0:
+            return from_pandas_clean(
+                pd.DataFrame(
+                    {
+                        id_col: np.empty(0, np.int64),
+                        "chunk_idx": np.empty(0, np.int64),
+                        "chunk_hash": np.empty(0, np.int64),
+                        "chunk_len": np.empty(0, np.int64),
+                    }
+                ),
+                schema,
+            )
+        flat = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+        h = gear_hash_positions(flat)
+        is_cand = (h & mask) == 0
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        ids, idxs, hashes, clens = [], [], [], []
+        for row_i in range(len(bufs)):
+            s, n = int(starts[row_i]), int(lens[row_i])
+            if n == 0:
+                continue
+            cands = np.flatnonzero(is_cand[s : s + n])
+            cuts = _cdc_cuts(cands, n, min_size, max_size)
+            edges = [0] + cuts + [n]
+            buf = bufs[row_i]
+            did = int(df[id_col].iloc[row_i])
+            for ci in range(len(edges) - 1):
+                a, b = edges[ci], edges[ci + 1]
+                dig = hashlib.blake2b(buf[a:b], digest_size=8).digest()
+                ids.append(did)
+                idxs.append(ci)
+                hashes.append(int.from_bytes(dig, "big") >> 1)
+                clens.append(b - a)
+        return from_pandas_clean(
+            pd.DataFrame(
+                {
+                    id_col: np.array(ids, np.int64),
+                    "chunk_idx": np.array(idxs, np.int64),
+                    "chunk_hash": np.array(hashes, np.int64),
+                    "chunk_len": np.array(clens, np.int64),
+                }
+            ),
+            schema,
+        )
+
+    return ensure_min_blocks(ds).map_batches(_chunks, batch_format="pandas")
+
+
+def cdc_dup_chunk_stats(
+    ds: Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mask_bits: int = 5,
+    min_size: int = 64,
+    max_size: int = 1024,
+    n_buckets: int | None = None,
+) -> Dataset:
+    """Per doc: total CDC chunks and how many of its DISTINCT chunk hashes
+    occur in at least one OTHER doc — the dup_span_counts plan
+    (functions/text.py) on shift-robust chunk boundaries.  One
+    hash(chunk_hash) shuffle of 24 B/row id-hash pairs; payloads never
+    enter the all-to-all."""
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    from ..ops import add_hash_bucket_int
+    from ..util import from_pandas_clean
+
+    if n_buckets is None:
+        n_buckets = max(8, 4 * int(_ray.cluster_resources().get("CPU", 8)))
+
+    chunks = cdc_chunk_rows(ds, id_col, text_col, mask_bits, min_size, max_size)
+
+    part_schema = pa.schema(
+        [(id_col, pa.int64()), ("n_chunks", pa.int64()), ("n_dup_chunks", pa.int64())]
+    )
+
+    def _pairs(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {id_col: t[id_col].to_numpy(), "chunk_hash": t["chunk_hash"].to_numpy()}
+        ).drop_duplicates()
+        return pa.table(
+            {
+                id_col: pa.array(df[id_col].to_numpy(np.int64)),
+                "chunk_hash": pa.array(df["chunk_hash"].to_numpy(np.int64)),
+            }
+        )
+
+    pairs = add_hash_bucket_int(
+        chunks.map_batches(_pairs, batch_format="pyarrow"), "chunk_hash", n_buckets
+    )
+
+    def _bucket_partials(g: pd.DataFrame):
+        df_per_chunk = g.groupby("chunk_hash")[id_col].transform("size")
+        hit = g[df_per_chunk >= 2]
+        out = hit.groupby(id_col).size().rename("n_dup_chunks").reset_index()
+        out["n_chunks"] = 0
+        out["n_dup_chunks"] = out["n_dup_chunks"].astype("int64")
+        out["n_chunks"] = out["n_chunks"].astype("int64")
+        return from_pandas_clean(out[[id_col, "n_chunks", "n_dup_chunks"]], part_schema)
+
+    partials = pairs.groupby("__bucket").map_groups(
+        _bucket_partials, batch_format="pandas"
+    )
+
+    def _totals(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({id_col: t[id_col].to_numpy()})
+        g = df.groupby(id_col, sort=False).size().reset_index(name="n_chunks")
+        g["n_dup_chunks"] = 0
+        return from_pandas_clean(
+            g[[id_col, "n_chunks", "n_dup_chunks"]].astype(
+                {id_col: "int64", "n_chunks": "int64", "n_dup_chunks": "int64"}
+            ),
+            part_schema,
+        )
+
+    totals = chunks.map_batches(_totals, batch_format="pyarrow")
+    return partials.union(totals).groupby(id_col).aggregate(
+        Sum("n_chunks", alias_name="n_chunks"),
+        Sum("n_dup_chunks", alias_name="n_dup_chunks"),
+    )

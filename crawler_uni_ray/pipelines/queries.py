@@ -2877,3 +2877,22 @@ def docs_dedup_keep_best(sf_dir: str, threshold: float = 0.5) -> pd.DataFrame:
     ).to_pandas()
     out = _ensure_cols(out[["doc_id"]], {"doc_id": "int64"})
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def docs_cdc_chunks(sf_dir: str) -> pd.DataFrame:
+    """Content-defined chunk dedup stats (functions/dedup.py:
+    cdc_dup_chunk_stats): per doc, total Gear-CDC chunks and how many of
+    its distinct chunks appear in >= 2 docs — the shift-robust dedup unit
+    (an insertion moves only the chunks it touches, unlike fixed spans).
+    Pinned local oracle: a per-byte rolling-hash reference implementation
+    (tests/test_local_oracles.py)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = fdedup.cdc_dup_chunk_stats(
+        ds, mask_bits=4, min_size=64, max_size=256
+    ).to_pandas()
+    out = _ensure_cols(
+        out, {"doc_id": "int64", "n_chunks": "int64", "n_dup_chunks": "int64"}
+    )
+    for c in ("n_chunks", "n_dup_chunks"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)

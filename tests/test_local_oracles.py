@@ -552,3 +552,75 @@ def test_pin_docs_dedup_keep_best(ray_session):
     pd.testing.assert_frame_equal(got.reset_index(drop=True), want, check_dtype=False)
     keep_first = set(Q.docs_dedup_fuzzy(SF)["doc_id"])
     assert set(got["doc_id"]) != keep_first
+
+
+def _ref_cdc(texts, mask_bits=4, min_size=64, max_size=256):
+    """Independent per-byte reference for Gear CDC: rolling
+    h = (h<<1) + GEAR[b] mod 2^64 from each DOC start (the engine hashes
+    the batch concatenation, exact because boundaries at in-doc offsets
+    < 63 are unreachable under min_size >= 64), linear greedy scan."""
+    import hashlib
+
+    from crawler_uni_ray.functions.dedup import GEAR
+
+    mask = (1 << mask_bits) - 1
+    per_doc = {}
+    for did, t in texts.items():
+        data = t.encode("utf-8")
+        n = len(data)
+        h, cands = 0, []
+        for i, b in enumerate(data):
+            h = ((h << 1) + int(GEAR[b])) & 0xFFFFFFFFFFFFFFFF
+            if (h & mask) == 0:
+                cands.append(i)
+        cuts, cur = [], 0
+        while cur < n:
+            pick = None
+            for c in cands:
+                if cur + min_size - 1 <= c <= cur + max_size - 1:
+                    pick = c
+                    break
+            if pick is not None and pick + 1 < n:
+                cur = pick + 1
+            elif n - cur > max_size:
+                cur = cur + max_size
+            else:
+                break
+            cuts.append(cur)
+        edges = [0] + cuts + [n]
+        hashes = []
+        for a, b in zip(edges[:-1], edges[1:]):
+            d = hashlib.blake2b(data[a:b], digest_size=8).digest()
+            hashes.append(int.from_bytes(d, "big") >> 1)
+        per_doc[did] = hashes
+    return per_doc
+
+
+def test_pin_docs_cdc_chunks(ray_session):
+    """CDC chunk stats ≡ the per-byte rolling-hash reference above: same
+    chunk counts per doc and same cross-doc duplicate-chunk counts — and
+    the duplicate stat actually bites on the sf0.001 near-dup groups."""
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    texts = dict(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()))
+    per_doc = _ref_cdc(texts)
+    from collections import Counter
+
+    df_counts = Counter()
+    for did, hashes in per_doc.items():
+        for hsh in set(hashes):
+            df_counts[hsh] += 1
+    want = pd.DataFrame(
+        {
+            "doc_id": sorted(per_doc),
+            "n_chunks": [len(per_doc[d]) for d in sorted(per_doc)],
+            "n_dup_chunks": [
+                sum(1 for hsh in set(per_doc[d]) if df_counts[hsh] >= 2)
+                for d in sorted(per_doc)
+            ],
+        }
+    )
+    got = Q.docs_cdc_chunks(SF).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert (got["n_dup_chunks"] > 0).sum() > 10
