@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_dedup_fuzzy": q.docs_dedup_fuzzy,
         "docs_dedup_keep_best": q.docs_dedup_keep_best,
         "docs_cdc_chunks": q.docs_cdc_chunks,
+        "docs_lm_nll": q.docs_lm_nll,
         "docs_training_pipeline": q.docs_training_pipeline,
         # crawl / url / media
         "url_canonicalize": q.url_canonicalize,

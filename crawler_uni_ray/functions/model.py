@@ -72,3 +72,159 @@ def score_linear(
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+# ------------------------------------------------- n-gram LM quality filter
+
+
+def bigram_lm_counts(
+    ds: Dataset, text_col: str = "text", n_buckets: int | None = None
+):
+    """Distributed bigram/unigram LM training counts over ``ds`` (the
+    training split): per-batch PARTIAL counts (the shuffle moves each
+    block's vocabulary, never its token stream) → ONE hash(w1) co-group
+    shuffle that sums both row kinds in place (every partial of a term and
+    of its bigrams shares the bucket).  Returns the summed count table as
+    a pandas frame — a driver collect bounded by the MODEL VOCABULARY,
+    the same contract as shipping a KenLM artifact: the trained model is
+    a broadcast-sized object by design (prune with a count threshold at
+    scale), while training itself streams."""
+    import pandas as pd
+    import ray as _ray
+
+    from ..ops import add_hash_bucket
+    from ..util import from_pandas_clean
+
+    if n_buckets is None:
+        n_buckets = max(8, 2 * int(_ray.cluster_resources().get("CPU", 8)))
+
+    schema = pa.schema(
+        [("kind", pa.int64()), ("w1", pa.string()), ("w2", pa.string()),
+         ("n", pa.int64())]
+    )
+
+    def _partials(df: pd.DataFrame):
+        lists = df[text_col].fillna("").str.split(" ")
+        e = lists.explode()
+        toks = e.to_numpy()
+        idx = e.index.to_numpy()
+        uni = pd.Series(toks).value_counts()
+        frames = [
+            pd.DataFrame(
+                {
+                    "kind": np.zeros(len(uni), np.int64),
+                    "w1": uni.index.astype(str),
+                    "w2": "",
+                    "n": uni.to_numpy(np.int64),
+                }
+            )
+        ]
+        if len(toks) >= 2:
+            m = idx[:-1] == idx[1:]
+            bg = pd.DataFrame({"w1": toks[:-1][m], "w2": toks[1:][m]})
+            bc = bg.groupby(["w1", "w2"], sort=False).size().reset_index(name="n")
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "kind": np.ones(len(bc), np.int64),
+                        "w1": bc["w1"].astype(str),
+                        "w2": bc["w2"].astype(str),
+                        "n": bc["n"].to_numpy(np.int64),
+                    }
+                )
+            )
+        return from_pandas_clean(pd.concat(frames, ignore_index=True), schema)
+
+    def _sum(g: pd.DataFrame):
+        out = (
+            g.groupby(["kind", "w1", "w2"], sort=False)["n"].sum().reset_index()
+        )
+        out["kind"] = out["kind"].astype("int64")
+        out["n"] = out["n"].astype("int64")
+        return from_pandas_clean(out, schema)
+
+    parts = ds.map_batches(_partials, batch_format="pandas")
+    return (
+        add_hash_bucket(parts, "w1", n_buckets)
+        .groupby("__bucket")
+        .map_groups(_sum, batch_format="pandas")
+        .to_pandas()
+    )
+
+
+def bigram_lm_nll(
+    ds: Dataset,
+    train: Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 6,
+) -> Dataset:
+    """CCNet-shape LM quality scoring (Wenzek et al. 2020,
+    arXiv:1911.00359): train an add-one-smoothed bigram LM on ``train``
+    (distributed counts above), broadcast the model ONCE (``ray.put`` +
+    per-worker ``cached_get``), then score every doc of ``ds`` map-side —
+    per-token negative log-likelihood
+    ``nll = -mean(log((c(w1,w2)+1) / (c(w1)+V)))`` over the doc's
+    bigrams (0.0 for docs with <2 tokens).  Scoring is fully vectorized:
+    exploded bigram keys hit the model via two indexed ``reindex`` lookups
+    (C path), per-doc sums via ``np.add.reduceat``.  No shuffle in the
+    scoring pass; low-NLL docs read as in-domain (the filter keeps
+    ``nll <= threshold`` downstream)."""
+    import pandas as pd
+
+    counts = bigram_lm_counts(train, text_col)
+    uni = counts.loc[counts["kind"] == 0].set_index("w1")["n"]
+    bigc = counts.loc[counts["kind"] == 1]
+    big = pd.Series(
+        bigc["n"].to_numpy(np.int64),
+        index=(bigc["w1"] + "\x1f" + bigc["w2"]).to_numpy(),
+    )
+    vocab_size = int(len(uni))
+    ref = ray.put((uni, big, vocab_size))
+
+    schema = pa.schema(
+        [(id_col, pa.int64()), ("n_bigrams", pa.int64()), ("nll", pa.float64())]
+    )
+
+    def _score(df: pd.DataFrame):
+        from ..util import cached_get as _cg
+        from ..util import from_pandas_clean as _fpc
+
+        uni_s, big_s, v = _cg(ref)
+        lists = df[text_col].fillna("").str.split(" ")
+        e = lists.explode()
+        toks = e.to_numpy()
+        idx = e.index.to_numpy()
+        nll = np.zeros(len(df), np.float64)
+        nb = np.zeros(len(df), np.int64)
+        if len(toks) >= 2:
+            m = idx[:-1] == idx[1:]
+            w1 = pd.Index(toks[:-1][m].astype(str))
+            keys = pd.Index(w1 + "\x1f" + toks[1:][m].astype(str))
+            c12 = big_s.reindex(keys).fillna(0).to_numpy(np.float64) + 1.0
+            c1 = uni_s.reindex(w1).fillna(0).to_numpy(np.float64) + float(v)
+            ll = np.log(c12) - np.log(c1)
+            # per-doc segment sums: bigram rows are grouped by source row
+            row_pos = pd.Series(np.arange(len(df)), index=df.index)
+            owner = row_pos.reindex(idx[:-1][m]).to_numpy(np.int64)
+            starts = np.searchsorted(owner, np.arange(len(df)), "left")
+            nb = np.diff(np.append(starts, len(owner))).astype(np.int64)
+            sums = np.zeros(len(df), np.float64)
+            nz = nb > 0
+            if nz.any():
+                seg = np.add.reduceat(ll, starts[nz])
+                sums[nz] = seg
+            with np.errstate(invalid="ignore", divide="ignore"):
+                nll = np.where(nz, -sums / np.maximum(nb, 1), 0.0)
+        return _fpc(
+            pd.DataFrame(
+                {
+                    id_col: df[id_col].to_numpy(np.int64),
+                    "n_bigrams": nb,
+                    "nll": np.round(nll, round_to),
+                }
+            ),
+            schema,
+        )
+
+    return ds.map_batches(_score, batch_format="pandas")

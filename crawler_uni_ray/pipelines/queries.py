@@ -2896,3 +2896,26 @@ def docs_cdc_chunks(sf_dir: str) -> pd.DataFrame:
     for c in ("n_chunks", "n_dup_chunks"):
         out[c] = out[c].astype("int64")
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def docs_lm_nll(sf_dir: str, train_mod: int = 7) -> pd.DataFrame:
+    """CCNet-shape LM quality scores (functions/model.py:bigram_lm_nll):
+    an add-one bigram LM trained on the deterministic doc_id % 7 == 0
+    split scores every doc's per-token negative log-likelihood.  Training
+    counts stream (partials + one co-group shuffle); the model broadcasts
+    once; scoring is map-side vectorized.  Pinned local oracle: pure
+    pandas recompute (tests/test_local_oracles.py)."""
+    from ..functions import model as fmodel
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _train_split(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        return t.filter(pa.array(ids % train_mod == 0))
+
+    train = ds.map_batches(_train_split, batch_format="pyarrow")
+    out = fmodel.bigram_lm_nll(ds, train).to_pandas()
+    out = _ensure_cols(
+        out, {"doc_id": "int64", "n_bigrams": "int64", "nll": "float64"}
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)

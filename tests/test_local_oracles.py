@@ -624,3 +624,37 @@ def test_pin_docs_cdc_chunks(ray_session):
     got = Q.docs_cdc_chunks(SF).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
     assert (got["n_dup_chunks"] > 0).sum() > 10
+
+
+def test_pin_docs_lm_nll(ray_session):
+    """Bigram-LM NLL scores ≡ a pure-Python Counter recompute of the same
+    add-one model (train split doc_id % 7 == 0), atol 1e-9 — and the
+    scores spread (the filter has signal to gate on)."""
+    import pyarrow.parquet as pq
+
+    got = Q.docs_lm_nll(SF)
+    tbl = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+    from collections import Counter
+
+    uni, big = Counter(), Counter()
+    for t in tbl[tbl.doc_id % 7 == 0].text:
+        toks = t.split(" ")
+        uni.update(toks)
+        big.update(zip(toks[:-1], toks[1:]))
+    v = float(len(uni))
+    rows = []
+    for did, t in zip(tbl.doc_id, tbl.text):
+        toks = t.split(" ")
+        bgs = list(zip(toks[:-1], toks[1:]))
+        if not bgs:
+            rows.append((did, 0, 0.0))
+            continue
+        ll = sum(np.log(big[b] + 1.0) - np.log(uni[b[0]] + v) for b in bgs)
+        rows.append((did, len(bgs), round(-ll / len(bgs), 6)))
+    want = (
+        pd.DataFrame(rows, columns=["doc_id", "n_bigrams", "nll"])
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, atol=1e-9)
+    assert got["nll"].nunique() > 100
