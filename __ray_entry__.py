@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_dedup_keep_best": q.docs_dedup_keep_best,
         "docs_cdc_chunks": q.docs_cdc_chunks,
         "docs_lm_nll": q.docs_lm_nll,
+        "docs_strip_dup_spans": q.docs_strip_dup_spans,
         "docs_training_pipeline": q.docs_training_pipeline,
         # crawl / url / media
         "url_canonicalize": q.url_canonicalize,
@@ -921,6 +922,42 @@ def oracle_sql() -> dict[str, str]:
             JOIN un ux ON ux.term = bc.w1
             JOIN un uy ON uy.term = bc.w2
             ORDER BY w1, w2
+        """,
+        # Substring-dedup rewrite: duplicated 10-token spans survive only in
+        # their smallest-id doc; other occurrences' tokens are stripped and
+        # the text rebuilt.  Engine hashes spans, the oracle joins strings.
+        "docs_strip_dup_spans": """
+            WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+            idx AS (
+              SELECT doc_id, l, unnest(range(1, len(l) - 10 + 2)) AS i FROM t
+            ),
+            sp AS (
+              SELECT doc_id, i, array_to_string(l[i:i+9], ' ') AS s FROM idx
+            ),
+            dup AS (
+              SELECT s, MIN(doc_id) AS keep_doc FROM sp
+              GROUP BY s HAVING COUNT(DISTINCT doc_id) >= 2
+            ),
+            hits AS (
+              SELECT sp.doc_id, sp.i FROM sp JOIN dup ON sp.s = dup.s
+              WHERE sp.doc_id <> dup.keep_doc
+            ),
+            cover AS (
+              SELECT DISTINCT doc_id, unnest(range(i, i + 10)) AS j FROM hits
+            ),
+            tok AS (SELECT doc_id, l, unnest(range(1, len(l) + 1)) AS j FROM t),
+            kept AS (
+              SELECT tok.doc_id,
+                     string_agg(tok.l[tok.j], ' ' ORDER BY tok.j)
+                       FILTER (WHERE c.j IS NULL) AS text_clean,
+                     COUNT(c.j)::BIGINT AS n_tokens_removed
+              FROM tok LEFT JOIN cover c
+                ON c.doc_id = tok.doc_id AND c.j = tok.j
+              GROUP BY tok.doc_id
+            )
+            SELECT doc_id, COALESCE(text_clean, '') AS text_clean,
+                   n_tokens_removed
+            FROM kept ORDER BY doc_id
         """,
         # Duplicate-span mining: per doc, its distinct 10-token spans that
         # occur in >= 2 docs.  Same hash-vs-string shingle equality caveat

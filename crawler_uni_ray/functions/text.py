@@ -730,3 +730,162 @@ def collocation_counts(
         .groupby("__bucket")
         .map_groups(_attach_ny, batch_format="pandas")
     )
+
+
+# ------------------------------------------------- substring-dedup rewrite
+
+
+def strip_dup_spans(
+    ds: Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 10,
+    n_buckets: int | None = None,
+) -> Dataset:
+    """Substring-level dedup that REWRITES the corpus (the actionable form
+    of ``dup_span_counts``, after Lee et al. 2022, arXiv:2107.06499):
+    every n-token span occurring in >= 2 distinct docs survives only in
+    its smallest-id document; every other occurrence's tokens are removed
+    (overlapping duplicated spans merge into one removed range).  Output:
+    ``(doc_id, text_clean, n_tokens_removed)`` for every input doc.
+    Tokenization is single-space split, so the rewrite is exactly
+    ``' '.join(kept tokens)`` — SQL-reproducible.
+
+    Plan: occurrence rows ``(span_hash, doc_id, pos)`` — 24 B/row —
+    through ONE hash(span) shuffle (a span's distinct-doc count, min-doc
+    owner, and loser occurrences all resolve in its bucket), then the hit
+    rows co-group with the corpus on ``hash(doc_id)`` — the only
+    all-to-all the text payload crosses.  Coverage masks build with a
+    difference array (``np.add.at`` + cumsum), never a per-token loop."""
+    import pyarrow as pa
+    import ray as _ray
+
+    from ..ops import add_hash_bucket_int
+    from ..util import ensure_min_blocks, from_pandas_clean
+
+    if n_buckets is None:
+        n_buckets = max(8, 2 * int(_ray.cluster_resources().get("CPU", 8)))
+
+    occ_schema = pa.schema(
+        [("sh", pa.int64()), (id_col, pa.int64()), ("pos", pa.int64())]
+    )
+
+    def _occurrences(df: pd.DataFrame):
+        tok_lists = df[text_col].fillna("").str.split(" ").tolist()
+        all_toks = [tok for toks in tok_lists for tok in toks]
+        ids_out = [np.empty(0, np.int64)]
+        pos_out = [np.empty(0, np.int64)]
+        sh_out = [np.empty(0, np.uint64)]
+        if all_toks:
+            hashes = url_hash_batch(all_toks)
+            lens = np.fromiter(
+                (len(tk) for tk in tok_lists), np.int64, count=len(tok_lists)
+            )
+            offs = np.concatenate(([0], np.cumsum(lens)))
+            weights = _shingle_weights(n)
+            ids = df[id_col].to_numpy()
+            for i in range(len(tok_lists)):
+                h = hashes[offs[i] : offs[i + 1]]
+                if len(h) < n:
+                    continue
+                mat = np.lib.stride_tricks.sliding_window_view(h, n)
+                win = (mat * weights).sum(axis=1, dtype=np.uint64)
+                sh_out.append(win)
+                pos_out.append(np.arange(len(win), dtype=np.int64))
+                ids_out.append(np.full(len(win), ids[i], np.int64))
+        return from_pandas_clean(
+            pd.DataFrame(
+                {
+                    "sh": np.concatenate(sh_out).view(np.int64),
+                    id_col: np.concatenate(ids_out),
+                    "pos": np.concatenate(pos_out),
+                }
+            ),
+            occ_schema,
+        )
+
+    occ = add_hash_bucket_int(
+        ensure_min_blocks(ds).map_batches(_occurrences, batch_format="pandas"),
+        "sh",
+        n_buckets,
+    )
+
+    hit_schema = pa.schema(
+        [("kind", pa.int64()), (id_col, pa.int64()), ("pos", pa.int64()),
+         (text_col, pa.string())]
+    )
+
+    def _losers(g: pd.DataFrame):
+        dd = g.groupby("sh")[id_col].nunique()
+        dup = dd.index[dd.to_numpy() >= 2]
+        g2 = g[g["sh"].isin(dup)]
+        min_doc = g2.groupby("sh")[id_col].transform("min")
+        hits = g2.loc[g2[id_col] != min_doc, [id_col, "pos"]]
+        return from_pandas_clean(
+            pd.DataFrame(
+                {
+                    "kind": np.ones(len(hits), np.int64),
+                    id_col: hits[id_col].to_numpy(np.int64),
+                    "pos": hits["pos"].to_numpy(np.int64),
+                    text_col: "",
+                }
+            ),
+            hit_schema,
+        )
+
+    hits = occ.groupby("__bucket").map_groups(_losers, batch_format="pandas")
+
+    def _text_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "kind": pa.array(np.zeros(t.num_rows, np.int64)),
+                id_col: t[id_col].cast(pa.int64()),
+                "pos": pa.array(np.full(t.num_rows, -1, np.int64)),
+                text_col: t[text_col].cast(pa.string()),
+            }
+        )
+
+    tagged = hits.union(ds.map_batches(_text_rows, batch_format="pyarrow"))
+
+    out_schema = pa.schema(
+        [(id_col, pa.int64()), ("text_clean", pa.string()),
+         ("n_tokens_removed", pa.int64())]
+    )
+
+    def _rewrite(g: pd.DataFrame):
+        texts = g.loc[g["kind"] == 0]
+        hit = g.loc[g["kind"] == 1]
+        hit_by_doc = {k: v["pos"].to_numpy(np.int64) for k, v in hit.groupby(id_col)}
+        out_ids, out_txt, out_rm = [], [], []
+        for did, txt in zip(texts[id_col].to_numpy(), texts[text_col].to_numpy()):
+            toks = txt.split(" ")
+            pos = hit_by_doc.get(did)
+            if pos is None or len(pos) == 0:
+                out_ids.append(int(did))
+                out_txt.append(txt)
+                out_rm.append(0)
+                continue
+            d = np.zeros(len(toks) + 1, np.int64)
+            np.add.at(d, pos, 1)
+            np.add.at(d, np.minimum(pos + n, len(toks)), -1)
+            cover = np.cumsum(d[:-1]) > 0
+            kept = [t for t, c in zip(toks, cover) if not c]
+            out_ids.append(int(did))
+            out_txt.append(" ".join(kept))
+            out_rm.append(int(cover.sum()))
+        return from_pandas_clean(
+            pd.DataFrame(
+                {
+                    id_col: np.array(out_ids, np.int64),
+                    "text_clean": pd.Series(out_txt, dtype=object),
+                    "n_tokens_removed": np.array(out_rm, np.int64),
+                }
+            ),
+            out_schema,
+        )
+
+    return (
+        add_hash_bucket_int(tagged, id_col, n_buckets)
+        .groupby("__bucket")
+        .map_groups(_rewrite, batch_format="pandas")
+    )

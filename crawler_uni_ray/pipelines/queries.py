@@ -2919,3 +2919,18 @@ def docs_lm_nll(sf_dir: str, train_mod: int = 7) -> pd.DataFrame:
         out, {"doc_id": "int64", "n_bigrams": "int64", "nll": "float64"}
     )
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def docs_strip_dup_spans(sf_dir: str, n: int = 10) -> pd.DataFrame:
+    """Substring-level dedup REWRITE (functions/text.py:strip_dup_spans):
+    every 10-token span occurring in >= 2 docs survives only in its
+    smallest-id doc; other occurrences' tokens are stripped.  Engine
+    compares 64-bit polynomial span hashes, the oracle joins span strings
+    (the docs_decontaminate hash-vs-string caveat)."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ftext.strip_dup_spans(docs, n=n).to_pandas()
+    out = _ensure_cols(
+        out,
+        {"doc_id": "int64", "text_clean": "str", "n_tokens_removed": "int64"},
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
