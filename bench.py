@@ -261,6 +261,11 @@ def bench_queries() -> dict:
         ("events_anomalies", q.events_anomalies),
         ("docs_model_score", q.docs_model_score),
         ("lineitem_pagerank", q.lineitem_pagerank),
+        ("docs_collocations", q.docs_collocations),
+        ("docs_dedup_keep_best", q.docs_dedup_keep_best),
+        ("docs_cdc_chunks", q.docs_cdc_chunks),
+        ("docs_lm_nll", q.docs_lm_nll),
+        ("docs_strip_dup_spans", q.docs_strip_dup_spans),
     ]:
         t0 = time.time()
         fn(SF_DIR)
