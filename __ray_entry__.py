@@ -96,6 +96,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_cdc_chunks": q.docs_cdc_chunks,
         "docs_lm_nll": q.docs_lm_nll,
         "docs_strip_dup_spans": q.docs_strip_dup_spans,
+        "docs_term_counts_cms": q.docs_term_counts_cms,
+        "docs_tokenize_stats": q.docs_tokenize_stats,
         "docs_training_pipeline": q.docs_training_pipeline,
         # crawl / url / media
         "url_canonicalize": q.url_canonicalize,
@@ -364,6 +366,35 @@ def oracle_sql() -> dict[str, str]:
             ) GROUP BY term
             ORDER BY n DESC, term
             LIMIT 50
+        """,
+        # Tokenize-for-training: ids 0..29 by (count desc, term asc);
+        # sum_ids pins the exact id assignment, all int64.
+        "docs_tokenize_stats": """
+            WITH tok AS (
+              SELECT doc_id,
+                     LOWER(UNNEST(REGEXP_EXTRACT_ALL(text, '[A-Za-z]+'))) AS term
+              FROM documents
+            ),
+            cnt AS (SELECT term, COUNT(*)::BIGINT AS n FROM tok GROUP BY 1),
+            vocab AS (
+              SELECT term,
+                     ROW_NUMBER() OVER (ORDER BY n DESC, term ASC) - 1 AS token_id
+              FROM cnt ORDER BY n DESC, term LIMIT 30
+            ),
+            j AS (
+              SELECT t.doc_id, v.token_id
+              FROM tok t LEFT JOIN vocab v ON v.term = t.term
+            ),
+            s AS (
+              SELECT doc_id, COUNT(*)::BIGINT AS n_ids,
+                     COUNT(*) FILTER (WHERE token_id IS NULL)::BIGINT AS n_unk,
+                     COALESCE(SUM(token_id), 0)::BIGINT AS sum_ids
+              FROM j GROUP BY doc_id
+            )
+            SELECT d.doc_id, COALESCE(s.n_ids, 0) AS n_ids,
+                   COALESCE(s.n_unk, 0) AS n_unk,
+                   COALESCE(s.sum_ids, 0) AS sum_ids
+            FROM documents d LEFT JOIN s USING (doc_id) ORDER BY d.doc_id
         """,
         # idf is the LINEAR N/df variant: one IEEE divide + one multiply,
         # bit-identical between numpy and SQL (ln() is libm-dependent and

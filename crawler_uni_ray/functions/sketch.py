@@ -347,3 +347,91 @@ def heavy_hitters_approx(
     out["err_bound"] = np.int64(err)
     out["n_tokens_total"] = np.int64(n_total)
     return out
+
+
+# ---------------------------------------------------------- Count-Min sketch
+
+# Row-hash seeds for the d independent CMS rows: the value hash mixes with
+# a distinct odd constant per row (Dietzfelbinger multiplicative family —
+# public construction, Cormode & Muthukrishnan 2005 for the sketch itself).
+_CMS_SEEDS = np.array(
+    [0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9,
+     0x27D4EB2F165667C5, 0x85EBCA77C2B2AE63, 0xFF51AFD7ED558CCD,
+     0xC4CEB9FE1A85EC53, 0x2545F4914F6CDD1D],
+    dtype=np.uint64,
+)
+
+
+def cms_batch(col, width: int = 2048, depth: int = 4) -> np.ndarray:
+    """One Count-Min partial for a batch: a ``(depth, width)`` int64 count
+    matrix, built with ``depth`` vectorized bincounts over the batch's
+    value hashes — the mergeable-combiner shape again: every block emits a
+    FIXED-SIZE matrix, merge is element-wise sum, so the collect volume is
+    ``n_blocks × depth × width × 8 bytes`` no matter the input size."""
+    if depth > len(_CMS_SEEDS):
+        raise ValueError(f"depth must be <= {len(_CMS_SEEDS)}")
+    h = _hash_values(col)
+    sk = np.zeros((depth, width), np.int64)
+    for d in range(depth):
+        hd = h * _CMS_SEEDS[d]
+        hd ^= hd >> np.uint64(33)
+        idx = (hd % np.uint64(width)).astype(np.int64)
+        sk[d] += np.bincount(idx, minlength=width).astype(np.int64)
+    return sk
+
+
+def cms_merge(parts: list[np.ndarray]) -> np.ndarray:
+    """Element-wise sum — order-free, so any tree/driver merge is exact."""
+    out = parts[0].copy()
+    for p in parts[1:]:
+        out += p
+    return out
+
+
+def cms_query(sk: np.ndarray, col) -> np.ndarray:
+    """Point-estimate counts for the values in ``col``: min over the depth
+    rows.  Guarantee (Cormode & Muthukrishnan): ``est >= true`` always,
+    and ``est <= true + e/width * n`` with probability ``1 - e^-depth``
+    per query, where n is the total inserted count."""
+    h = _hash_values(col)
+    depth, width = sk.shape
+    est = np.full(len(h), np.iinfo(np.int64).max, np.int64)
+    for d in range(depth):
+        hd = h * _CMS_SEEDS[d]
+        hd ^= hd >> np.uint64(33)
+        idx = (hd % np.uint64(width)).astype(np.int64)
+        est = np.minimum(est, sk[d][idx])
+    return est
+
+
+def term_counts_cms(
+    ds: Dataset,
+    terms: list[str],
+    text_col: str = "text",
+    width: int = 2048,
+    depth: int = 4,
+) -> pd.DataFrame:
+    """Approximate corpus-wide term counts for a fixed query-term list via
+    a distributed Count-Min sketch: each block's TOKEN STREAM folds into
+    one fixed-size matrix map-side (no vocabulary ever shuffles — vs
+    ``text.top_terms``' exact vocab groupby), the driver merges
+    ``n_blocks`` matrices, then answers the point queries locally.
+    Returns ``(term, n_est)`` — always >= the true count."""
+    import re as _re
+
+    word_re = _re.compile(r"[A-Za-z]+")
+
+    def _partial(df: pd.DataFrame):
+        toks = (
+            df[text_col].fillna("").str.findall(word_re).explode().dropna().str.lower()
+        )
+        sk = cms_batch(toks.to_numpy(dtype=object), width, depth)
+        return pd.DataFrame({"sk": [sk.tobytes()]})
+
+    parts = ds.map_batches(_partial, batch_format="pandas").to_pandas()
+    mats = [
+        np.frombuffer(b, dtype=np.int64).reshape(depth, width) for b in parts["sk"]
+    ]
+    sk = cms_merge(mats) if mats else np.zeros((depth, width), np.int64)
+    est = cms_query(sk, np.asarray(terms, dtype=object))
+    return pd.DataFrame({"term": list(terms), "n_est": est.astype(np.int64)})

@@ -889,3 +889,71 @@ def strip_dup_spans(
         .groupby("__bucket")
         .map_groups(_rewrite, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------- tokenization
+
+
+def build_vocab(ds: Dataset, v: int = 30, text_col: str = "text") -> pd.DataFrame:
+    """Frequency-ranked vocabulary: the top-``v`` terms by (count desc,
+    term asc) with ids 0..v-1 — the exact ``top_terms`` plan (vocab
+    partials → groupby sum → per-block top-k slates), so the driver sees
+    only candidate slates, never the vocabulary.  Returns
+    ``(term, token_id, n)``."""
+    out = top_terms(ds, k=v, text_col=text_col)
+    out = out.reset_index(drop=True)
+    out["token_id"] = np.arange(len(out), dtype=np.int64)
+    return out[["term", "token_id", "n"]]
+
+
+def tokenize_stats(
+    ds: Dataset,
+    vocab: pd.DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> Dataset:
+    """Map every doc onto the (broadcast) vocabulary — the production
+    tokenize-for-training step: per batch, ONE reindex lookup of the
+    exploded token stream against the id table (C path), per-doc segment
+    sums via bincount.  Output ``(doc_id, n_ids, n_unk, sum_ids)`` —
+    ``sum_ids`` pins the exact id assignment, all int64 (SQL-checkable).
+    The vocab ships once (``ray.put`` + per-worker ``cached_get``)."""
+    import pyarrow as pa
+    import ray as _ray
+
+    from ..util import cached_get, from_pandas_clean
+
+    ref = _ray.put(vocab.set_index("term")["token_id"])
+
+    schema_out = pa.schema(
+        [(id_col, pa.int64()), ("n_ids", pa.int64()),
+         ("n_unk", pa.int64()), ("sum_ids", pa.int64())]
+    )
+
+    def _map(df: pd.DataFrame):
+        ids_tab = cached_get(ref)
+        s = df[text_col].fillna("").str.findall(WORD_RE)
+        e = s.explode().dropna().str.lower()
+        owner_lbl = e.index.to_numpy()
+        row_pos = pd.Series(np.arange(len(df)), index=df.index)
+        owner = row_pos.reindex(owner_lbl).to_numpy(np.int64) if len(e) else np.empty(0, np.int64)
+        tok_ids = ids_tab.reindex(pd.Index(e.to_numpy(dtype=object))).to_numpy(np.float64) if len(e) else np.empty(0)
+        known = ~np.isnan(tok_ids)
+        n_ids = np.bincount(owner, minlength=len(df)).astype(np.int64)
+        n_unk = np.bincount(owner[~known], minlength=len(df)).astype(np.int64)
+        sum_ids = np.bincount(
+            owner[known], weights=tok_ids[known], minlength=len(df)
+        ).astype(np.int64)
+        return from_pandas_clean(
+            pd.DataFrame(
+                {
+                    id_col: df[id_col].to_numpy(np.int64),
+                    "n_ids": n_ids,
+                    "n_unk": n_unk,
+                    "sum_ids": sum_ids,
+                }
+            ),
+            schema_out,
+        )
+
+    return ds.map_batches(_map, batch_format="pandas")

@@ -2934,3 +2934,37 @@ def docs_strip_dup_spans(sf_dir: str, n: int = 10) -> pd.DataFrame:
         {"doc_id": "int64", "text_clean": "str", "n_tokens_removed": "int64"},
     )
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+CMS_QUERY_TERMS = ["the", "data", "spark", "merge", "vector", "zebra"]
+
+
+def docs_term_counts_cms(sf_dir: str) -> pd.DataFrame:
+    """Approximate term counts via a distributed Count-Min sketch
+    (functions/sketch.py:term_counts_cms): each block folds its token
+    stream into ONE fixed-size (4×2048) count matrix map-side — the
+    vocabulary never shuffles — and the driver merges n_blocks matrices.
+    Always an overestimate; pinned local oracle asserts the CM bound
+    against exact counts (tests/test_local_oracles.py)."""
+    from ..functions import sketch as fsketch
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    out = fsketch.term_counts_cms(ds, CMS_QUERY_TERMS)
+    out["n_est"] = out["n_est"].astype("int64")
+    return out.sort_values("term").reset_index(drop=True)
+
+
+def docs_tokenize_stats(sf_dir: str, v: int = 30) -> pd.DataFrame:
+    """Tokenize-for-training against a corpus-built vocabulary
+    (functions/text.py:build_vocab + tokenize_stats): the top-30 terms by
+    (count desc, term asc) get ids 0..29; per doc the engine reports
+    token/unknown counts and the exact sum of assigned ids — all int64,
+    hash-exact against the SQL ROW_NUMBER vocabulary."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    vocab = ftext.build_vocab(docs, v=v)
+    out = ftext.tokenize_stats(docs, vocab).to_pandas()
+    out = _ensure_cols(
+        out,
+        {"doc_id": "int64", "n_ids": "int64", "n_unk": "int64", "sum_ids": "int64"},
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)

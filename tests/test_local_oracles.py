@@ -658,3 +658,31 @@ def test_pin_docs_lm_nll(ray_session):
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False, atol=1e-9)
     assert got["nll"].nunique() > 100
+
+
+def test_pin_docs_term_counts_cms(ray_session):
+    """Count-Min estimates obey the sketch guarantee against exact counts:
+    est >= true always, and est <= true + ceil(e/width · n_tokens)
+    (deterministic for fixed data + seeds, so this pins the output), and
+    the absent term ('zebra') stays within the same slack of zero."""
+    import math
+    import re
+
+    import pyarrow.parquet as pq
+
+    got = Q.docs_term_counts_cms(SF).set_index("term")["n_est"]
+    texts = pq.read_table(f"{SF}/documents.parquet", columns=["text"])[
+        "text"
+    ].to_pylist()
+    word_re = re.compile(r"[A-Za-z]+")
+    from collections import Counter
+
+    exact = Counter()
+    for t in texts:
+        exact.update(w.lower() for w in word_re.findall(t))
+    n_total = sum(exact.values())
+    slack = math.ceil(math.e / 2048 * n_total)
+    for term in Q.CMS_QUERY_TERMS:
+        assert got[term] >= exact[term], term
+        assert got[term] <= exact[term] + slack, (term, got[term], exact[term], slack)
+    assert exact["zebra"] == 0

@@ -72,6 +72,7 @@ ROWS_ONLY = [
     "docs_dedup_keep_best",
     "docs_cdc_chunks",
     "docs_lm_nll",
+    "docs_term_counts_cms",
     "docs_training_pipeline",
     "embeddings_ann_ivf_persisted",
     "embeddings_ann_lsh_persisted",
