@@ -266,6 +266,8 @@ def bench_queries() -> dict:
         ("docs_cdc_chunks", q.docs_cdc_chunks),
         ("docs_lm_nll", q.docs_lm_nll),
         ("docs_strip_dup_spans", q.docs_strip_dup_spans),
+        ("docs_term_counts_cms", q.docs_term_counts_cms),
+        ("docs_tokenize_stats", q.docs_tokenize_stats),
     ]:
         t0 = time.time()
         fn(SF_DIR)
