@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_strip_dup_spans": q.docs_strip_dup_spans,
         "docs_term_counts_cms": q.docs_term_counts_cms,
         "docs_tokenize_stats": q.docs_tokenize_stats,
+        "lineitem_communities": q.lineitem_communities,
         "docs_training_pipeline": q.docs_training_pipeline,
         # crawl / url / media
         "url_canonicalize": q.url_canonicalize,

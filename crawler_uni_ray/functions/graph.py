@@ -284,3 +284,90 @@ def _pagerank_bucketed(
 
     out = ranks_ds.select_columns(["node", "rank"]).to_pandas()
     return out.sort_values("node").reset_index(drop=True)
+
+
+def label_propagation(
+    edges: Dataset,
+    n_iter: int = 5,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    n_buckets: int | None = None,
+) -> pd.DataFrame:
+    """Synchronous label propagation community detection (Raghavan et al.
+    2007, arXiv:0709.2938) over the UNDIRECTED graph: ``label(v)`` starts
+    as ``v``; each iteration every node adopts the MOST FREQUENT label
+    among its neighbors (ties → smallest label; isolated nodes keep
+    theirs).  Synchronous updates + the deterministic tie rule make the
+    result seed-free and test-pinnable.
+
+    Transport mirrors ``pagerank``'s split: edges are deduped, mirrored,
+    and hash-bucketed on ``dst`` ONCE (``materialize`` — they never move
+    again logically); per iteration the label array broadcasts
+    (``ray.put`` + per-worker ``cached_get``) and each ``hash(dst)``
+    group computes its nodes' EXACT neighbor-label mode in place (a
+    bucket holds every in-edge of its nodes), returning ONE row per node
+    — driver ingress is node-sized per iteration, never edge-sized."""
+    import ray as _ray
+
+    if n_buckets is None:
+        n_buckets = max(8, 2 * int(_ray.cluster_resources().get("CPU", 8)))
+
+    def _mirror(t: pa.Table) -> pa.Table:
+        s = t[src_col].to_numpy().astype(np.int64)
+        d = t[dst_col].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([s, d])),
+                "dst": pa.array(np.concatenate([d, s])),
+            }
+        )
+
+    und = _distinct_edges(
+        edges.map_batches(_mirror, batch_format="pyarrow"), "src", "dst", n_buckets
+    )
+    bucketed = add_hash_bucket_int(und, "dst", n_buckets).materialize()
+
+    nodes = (
+        _node_table(und, "src", "dst").to_pandas().sort_values("node")
+    )
+    node_ids = nodes["node"].to_numpy(np.int64)
+    labels = node_ids.copy()
+
+    out_schema = pa.schema([("node", pa.int64()), ("new_label", pa.int64())])
+
+    for _ in range(n_iter):
+        ref = ray.put((node_ids, labels))
+
+        def _mode(g: pd.DataFrame, _ref=ref) -> pa.Table:
+            ids, lab = cached_get(_ref)
+            nb = lab[np.searchsorted(ids, g["src"].to_numpy(np.int64))]
+            df = pd.DataFrame({"d": g["dst"].to_numpy(np.int64), "lab": nb})
+            cnt = df.groupby(["d", "lab"], sort=False).size().reset_index(name="c")
+            cnt = cnt.sort_values(
+                ["d", "c", "lab"], ascending=[True, False, True], kind="mergesort"
+            )
+            top = cnt.groupby("d", sort=False).head(1)
+            return from_pandas_clean(
+                pd.DataFrame(
+                    {
+                        "node": top["d"].to_numpy(np.int64),
+                        "new_label": top["lab"].to_numpy(np.int64),
+                    }
+                ),
+                out_schema,
+            )
+
+        new = (
+            bucketed.groupby("__bucket")
+            .map_groups(_mode, batch_format="pandas")
+            .to_pandas()
+        )
+        nl = labels.copy()
+        pos = np.searchsorted(node_ids, new["node"].to_numpy(np.int64))
+        nl[pos] = new["new_label"].to_numpy(np.int64)
+        if np.array_equal(nl, labels):
+            break
+        labels = nl
+
+    return pd.DataFrame({"node": node_ids, "label": labels.astype(np.int64)})

@@ -2968,3 +2968,24 @@ def docs_tokenize_stats(sf_dir: str, v: int = 30) -> pd.DataFrame:
         {"doc_id": "int64", "n_ids": "int64", "n_unk": "int64", "sum_ids": "int64"},
     )
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def lineitem_communities(sf_dir: str, n_iter: int = 5) -> pd.DataFrame:
+    """Label-propagation communities (functions/graph.py:
+    label_propagation) over the same part↔supplier bipartite graph as
+    lineitem_pagerank: synchronous updates, most-frequent neighbor label,
+    ties → smallest label — deterministic, pinned against a driver numpy
+    recompute (tests/test_graph.py)."""
+    from ..functions.graph import label_propagation
+
+    li = _read(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+
+    def _edges(t: pa.Table) -> pa.Table:
+        p = t["l_partkey"].to_numpy().astype(np.int64)
+        s = t["l_suppkey"].to_numpy().astype(np.int64) + 1_000_000
+        return pa.table({"src": pa.array(p), "dst": pa.array(s)})
+
+    out = label_propagation(
+        li.map_batches(_edges, batch_format="pyarrow"), n_iter=n_iter
+    )
+    return out.sort_values("node").reset_index(drop=True)

@@ -91,3 +91,71 @@ def test_lineitem_pagerank_query_pinned(ray_session):
     got = got.sort_values("node").reset_index(drop=True)
     assert list(got["node"]) == list(want["node"])
     np.testing.assert_allclose(got["rank"], want["rank"], atol=1e-9)
+
+
+def _lpa_reference(edge_pairs, n_iter=5):
+    """Dense synchronous LPA: most-frequent neighbor label, tie -> min."""
+    from collections import Counter
+
+    und = set()
+    for s, d in edge_pairs:
+        if s != d:
+            und.add((s, d))
+            und.add((d, s))
+        else:
+            und.add((s, d))
+    nodes = sorted({x for e in und for x in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    nbrs = [[] for _ in nodes]
+    for s, d in und:
+        nbrs[idx[d]].append(idx[s])  # in-neighbors of d (mirrored = undirected)
+    labels = list(range(len(nodes)))
+    for _ in range(n_iter):
+        new = labels[:]
+        for v in range(len(nodes)):
+            if not nbrs[v]:
+                continue
+            c = Counter(labels[u] for u in nbrs[v])
+            best = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+            new[v] = best
+        if new == labels:
+            break
+        labels = new
+    return {nodes[i]: labels[i] for i in range(len(nodes))}, nodes
+
+
+def test_label_propagation_matches_dense_reference(ray_session):
+    """Distributed LPA ≡ the dense synchronous reference on a seeded
+    random graph — labels compared as NODE IDS (the reference tracks
+    positional labels; both start label(v)=v so positions map back), and
+    two planted cliques each converge to one label."""
+    import numpy as np
+    import ray.data
+
+    from crawler_uni_ray.functions.graph import label_propagation
+
+    rng = np.random.RandomState(7)
+    # two dense cliques + sparse noise
+    a = [(i, j) for i in range(10) for j in range(i + 1, 10)]
+    b = [(i, j) for i in range(20, 32) for j in range(i + 1, 32)]
+    noise = [(int(rng.randint(0, 32)), int(rng.randint(40, 60))) for _ in range(30)]
+    pairs = a + b + noise
+    import pyarrow as pa
+
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([p[0] for p in pairs], pa.int64()),
+                "dst": pa.array([p[1] for p in pairs], pa.int64()),
+            }
+        )
+    )
+    got = label_propagation(edges, n_iter=5)
+    ref_pos, nodes = _lpa_reference(pairs, n_iter=5)
+    # reference labels are positions into `nodes`; map back to node ids
+    want = {n: nodes[ref_pos[n]] for n in nodes}
+    got_map = dict(zip(got["node"], got["label"]))
+    assert got_map == want
+    # each clique shares one label
+    assert len({got_map[i] for i in range(10)}) == 1
+    assert len({got_map[i] for i in range(20, 32)}) == 1

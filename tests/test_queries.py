@@ -80,6 +80,7 @@ ROWS_ONLY = [
     "url_canonicalize",
     "media_image_features",
     "lineitem_pagerank",
+    "lineitem_communities",
 ]
 
 
