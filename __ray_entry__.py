@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_term_counts_cms": q.docs_term_counts_cms,
         "docs_tokenize_stats": q.docs_tokenize_stats,
         "lineitem_communities": q.lineitem_communities,
+        "parts_copurchase_triangles": q.parts_copurchase_triangles,
         "docs_training_pipeline": q.docs_training_pipeline,
         # crawl / url / media
         "url_canonicalize": q.url_canonicalize,
@@ -367,6 +368,26 @@ def oracle_sql() -> dict[str, str]:
             ) GROUP BY term
             ORDER BY n DESC, term
             LIMIT 50
+        """,
+        # Triangle census of the parts co-purchase graph; engine uses
+        # degree-ordered orientation, the oracle an id-ordered 3-way join
+        # (orientation doesn't change the count).
+        "parts_copurchase_triangles": """
+            WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            e AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+                  FROM li x JOIN li y
+                    ON x.l_orderkey = y.l_orderkey
+                   AND x.l_partkey < y.l_partkey),
+            n AS (SELECT COUNT(DISTINCT node)::BIGINT AS n_nodes FROM
+                  (SELECT a AS node FROM e UNION ALL SELECT b FROM e)),
+            tri AS (
+              SELECT COUNT(*)::BIGINT AS n_triangles
+              FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+                       JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+            )
+            SELECT n.n_nodes, (SELECT COUNT(*) FROM e)::BIGINT AS n_edges,
+                   tri.n_triangles
+            FROM n, tri
         """,
         # Tokenize-for-training: ids 0..29 by (count desc, term asc);
         # sum_ids pins the exact id assignment, all int64.

@@ -2989,3 +2989,36 @@ def lineitem_communities(sf_dir: str, n_iter: int = 5) -> pd.DataFrame:
         li.map_batches(_edges, batch_format="pyarrow"), n_iter=n_iter
     )
     return out.sort_values("node").reset_index(drop=True)
+
+
+def parts_copurchase_triangles(sf_dir: str) -> pd.DataFrame:
+    """Triangle census of the parts co-purchase graph (parts adjacent iff
+    they share an order) via functions/graph.py:triangle_count —
+    degree-ordered orientation, wedge/edge existence co-group on packed
+    pair keys.  Edge generation is one hash(orderkey) co-group (orders are
+    whole units, per-order pair fan-out is bounded by basket size)."""
+    from ..functions.graph import triangle_count
+    from ..ops import add_hash_bucket_int
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    n_buckets = max(8, 2 * int(ray.cluster_resources().get("CPU", 8)))
+
+    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        srcs, dsts = [], []
+        for _, grp in g.groupby("l_orderkey", sort=False):
+            parts = np.unique(grp["l_partkey"].to_numpy(np.int64))
+            if len(parts) < 2:
+                continue
+            i, j = np.triu_indices(len(parts), k=1)
+            srcs.append(parts[i])
+            dsts.append(parts[j])
+        src = np.concatenate(srcs) if srcs else np.empty(0, np.int64)
+        dst = np.concatenate(dsts) if dsts else np.empty(0, np.int64)
+        return pd.DataFrame({"src": src, "dst": dst})
+
+    edges = (
+        add_hash_bucket_int(li, "l_orderkey", n_buckets)
+        .groupby("__bucket")
+        .map_groups(_pairs, batch_format="pandas")
+    )
+    return triangle_count(edges)

@@ -159,3 +159,30 @@ def test_label_propagation_matches_dense_reference(ray_session):
     # each clique shares one label
     assert len({got_map[i] for i in range(10)}) == 1
     assert len({got_map[i] for i in range(20, 32)}) == 1
+
+
+def test_triangle_count_known_graphs(ray_session):
+    """K4 = 4 triangles, C4 = 0, triangle+pendant with duplicate /
+    reversed / self edges = 1 (normalization + dedup hold)."""
+    import pyarrow as pa
+    import ray.data
+
+    from crawler_uni_ray.functions.graph import triangle_count
+
+    def g(pairs):
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "src": pa.array([p[0] for p in pairs], pa.int64()),
+                    "dst": pa.array([p[1] for p in pairs], pa.int64()),
+                }
+            )
+        )
+
+    k4 = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    assert triangle_count(g(k4)).iloc[0]["n_triangles"] == 4
+    assert triangle_count(g([(0, 1), (1, 2), (2, 3), (3, 0)])).iloc[0][
+        "n_triangles"
+    ] == 0
+    r = triangle_count(g([(0, 1), (1, 0), (1, 2), (2, 0), (2, 3), (3, 3)]))
+    assert r.iloc[0]["n_triangles"] == 1 and r.iloc[0]["n_edges"] == 4
