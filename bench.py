@@ -268,6 +268,8 @@ def bench_queries() -> dict:
         ("docs_strip_dup_spans", q.docs_strip_dup_spans),
         ("docs_term_counts_cms", q.docs_term_counts_cms),
         ("docs_tokenize_stats", q.docs_tokenize_stats),
+        ("lineitem_communities", q.lineitem_communities),
+        ("parts_copurchase_triangles", q.parts_copurchase_triangles),
     ]:
         t0 = time.time()
         fn(SF_DIR)

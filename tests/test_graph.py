@@ -186,3 +186,22 @@ def test_triangle_count_known_graphs(ray_session):
     ] == 0
     r = triangle_count(g([(0, 1), (1, 0), (1, 2), (2, 0), (2, 3), (3, 3)]))
     assert r.iloc[0]["n_triangles"] == 1 and r.iloc[0]["n_edges"] == 4
+
+
+def test_lineitem_communities_query_pinned(ray_session):
+    """The driver query vs the dense synchronous reference on the same
+    sf0.001 bipartite graph — pins labels, not just row counts."""
+    import duckdb
+
+    import __ray_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    got = entrymod.queries()["lineitem_communities"](sf)
+    pairs = duckdb.connect().execute(
+        f"SELECT DISTINCT l_partkey, l_suppkey FROM read_parquet('{sf}/lineitem.parquet')"
+    ).fetchall()
+    edges = [(p, s + 1_000_000) for p, s in pairs]
+    ref_pos, nodes = _lpa_reference(edges, n_iter=5)
+    want = {n: nodes[ref_pos[n]] for n in nodes}
+    got_map = dict(zip(got["node"], got["label"]))
+    assert got_map == want
