@@ -821,3 +821,76 @@ def test_misra_gries_guarantees(ray_session):
             assert t in est, (t, c, err)
     for t, e in est.items():
         assert e <= true[t] <= e + err, (t, e, true[t], err)
+
+
+def test_cdc_cuts_property_random_bytes():
+    """Property: for random byte strings, the vectorized gear hash + greedy
+    cut selection equals a per-byte rolling-hash reference (no Ray — pure
+    kernel), and every produced chunk respects the min/max bounds except
+    the tail."""
+    import numpy as np
+
+    from crawler_uni_ray.functions.dedup import GEAR, _cdc_cuts, gear_hash_positions
+
+    rng = np.random.RandomState(11)
+    for trial in range(20):
+        n = int(rng.randint(0, 3000))
+        data = rng.randint(0, 256, n).astype(np.uint8)
+        mask_bits, min_size, max_size = 4, 64, 256
+        mask = (1 << mask_bits) - 1
+        # reference: per-byte rolling hash from position 0
+        h, ref_cands = 0, []
+        for i in range(n):
+            h = ((h << 1) + int(GEAR[data[i]])) & 0xFFFFFFFFFFFFFFFF
+            if (h & mask) == 0:
+                ref_cands.append(i)
+        ref_cuts, cur = [], 0
+        while cur < n:
+            pick = None
+            for c in ref_cands:
+                if cur + min_size - 1 <= c <= cur + max_size - 1:
+                    pick = c
+                    break
+            if pick is not None and pick + 1 < n:
+                cur = pick + 1
+            elif n - cur > max_size:
+                cur = cur + max_size
+            else:
+                break
+            ref_cuts.append(cur)
+        # engine: vectorized hash (positions >= 63 exact), same greedy
+        hv = gear_hash_positions(data) if n else np.empty(0, np.uint64)
+        cands = np.flatnonzero((hv & np.uint64(mask)) == 0)
+        got = _cdc_cuts(cands, n, min_size, max_size)
+        assert got == ref_cuts, (trial, n)
+        edges = [0] + got + [n]
+        for a, b in zip(edges[:-2], edges[1:-1]):
+            assert min_size <= b - a <= max_size
+
+
+def test_collocation_partials_match_counter():
+    """Property: the per-batch bigram/unigram partial counts equal plain
+    Counter counts over the same texts (pure kernel check via a one-block
+    local dataset is covered by the SQL gate; here the splitting/masking
+    logic is exercised on adversarial inputs: empty strings, one-token
+    docs, repeated tokens)."""
+    from collections import Counter
+
+    import pandas as pd
+
+    texts = ["", "a", "a a", "a b a b", "x y", "y x y x y"]
+    uni, big = Counter(), Counter()
+    for t in texts:
+        toks = t.split(" ")
+        uni.update(toks)
+        big.update(zip(toks[:-1], toks[1:]))
+    # reproduce the partials kernel's logic standalone
+    lists = pd.Series(texts).str.split(" ")
+    e = lists.explode()
+    toks = e.to_numpy()
+    idx = e.index.to_numpy()
+    got_uni = Counter(pd.Series(toks).value_counts().to_dict())
+    m = idx[:-1] == idx[1:]
+    got_big = Counter(zip(toks[:-1][m], toks[1:][m]))
+    assert got_uni == uni
+    assert got_big == big
