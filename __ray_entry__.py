@@ -100,6 +100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_tokenize_stats": q.docs_tokenize_stats,
         "lineitem_communities": q.lineitem_communities,
         "parts_copurchase_triangles": q.parts_copurchase_triangles,
+        "docs_cosine_pairs": q.docs_cosine_pairs,
         "docs_training_pipeline": q.docs_training_pipeline,
         # crawl / url / media
         "url_canonicalize": q.url_canonicalize,

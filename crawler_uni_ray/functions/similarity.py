@@ -776,3 +776,173 @@ def ann_lsh_persisted(
         .to_pandas()
     )
     return _merge_topk_partials(partials, query_ids, k), stats
+
+
+def tfidf_cosine_pairs(
+    ds,
+    threshold: float = 0.3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df: int | None = None,
+    n_buckets: int | None = None,
+) -> pd.DataFrame:
+    """Exact all-pairs sparse cosine similarity join over L2-normalized
+    linear-idf tf·idf vectors (the APSS problem — Bayardo et al. WWW'07 /
+    DISCO's term-partitioned form): ``cos(a,b) = Σ_t w_at·w_bt``
+    distributes over terms, so each ``hash(term)`` bucket emits partial
+    products for the doc pairs sharing its terms — 24 B rows — and ONE
+    ``groupby(pair)`` sum finishes every pair exactly.  Per-term pair
+    fan-out is O(df²); ``max_df`` is the scale knob (skip terms with
+    df > max_df — exact whenever no term exceeds it, and with linear idf
+    a term's weight shrinks as 1/df so skipped mass is bounded); None =
+    fully exact.  Returns pairs with ``cos >= threshold``, id_a < id_b.
+
+    Plan: per-doc tf rows (text.doc_term_freqs) → hash(term) co-group
+    computes df + normalized weights in-bucket (needs each doc's norm:
+    a second tiny co-group ships per-doc norms) — concretely: pass 1
+    computes per-(doc, term) idf weights and per-doc squared-norm
+    partials; norms combine in one node-sized groupby and broadcast;
+    pass 2 re-buckets weighted rows by term and emits pair partials."""
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    from ..functions.text import doc_term_freqs
+    from ..ops import add_hash_bucket, add_hash_bucket_int
+    from ..util import cached_get, from_pandas_clean
+
+    if n_buckets is None:
+        n_buckets = max(8, 2 * int(_ray.cluster_resources().get("CPU", 8)))
+
+    n_docs = float(ds.count())
+    tf = doc_term_freqs(ds, id_col, text_col)
+
+    w_schema = pa.schema(
+        [(id_col, pa.int64()), ("term", pa.string()), ("w", pa.float64())]
+    )
+
+    def _weights(g: pd.DataFrame):
+        dfreq = g.groupby("term", sort=False)["term"].transform("size")
+        if max_df is not None:
+            g = g.loc[dfreq.to_numpy() <= max_df]
+            dfreq = dfreq[dfreq.to_numpy() <= max_df]
+        w = g["tf"].to_numpy(np.float64) * (n_docs / dfreq.to_numpy(np.float64))
+        return from_pandas_clean(
+            pd.DataFrame(
+                {
+                    id_col: g[id_col].to_numpy(np.int64),
+                    "term": g["term"].to_numpy(),
+                    "w": w,
+                }
+            ),
+            w_schema,
+        )
+
+    weighted = (
+        add_hash_bucket(tf, "term", n_buckets)
+        .groupby("__bucket")
+        .map_groups(_weights, batch_format="pandas")
+        .materialize()
+    )
+
+    def _norm_partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {id_col: t[id_col].to_numpy(), "s": t["w"].to_numpy() ** 2}
+        )
+        g = df.groupby(id_col, as_index=False)["s"].sum()
+        return pa.table(
+            {
+                id_col: pa.array(g[id_col].to_numpy(np.int64)),
+                "s": pa.array(g["s"].to_numpy(np.float64)),
+            }
+        )
+
+    norms = (
+        weighted.map_batches(_norm_partial, batch_format="pyarrow")
+        .groupby(id_col)
+        .aggregate(Sum("s", alias_name="s"))
+        .to_pandas()
+    )
+    ids_sorted = norms.sort_values(id_col)
+    norm_ref = _ray.put(
+        (
+            ids_sorted[id_col].to_numpy(np.int64),
+            np.sqrt(ids_sorted["s"].to_numpy(np.float64)),
+        )
+    )
+
+    pair_schema = pa.schema(
+        [("id_a", pa.int64()), ("id_b", pa.int64()), ("p", pa.float64())]
+    )
+
+    def _pair_partials(g: pd.DataFrame):
+        ids_arr, nrm = cached_get(norm_ref)
+        # deterministic float summation: fix the row order before any sum
+        g = g.sort_values(["term", id_col], kind="mergesort")
+        out_a, out_b, out_p = [], [], []
+        for _, grp in g.groupby("term", sort=False):
+            d = grp[id_col].to_numpy(np.int64)
+            w = grp["w"].to_numpy(np.float64)
+            w = w / nrm[np.searchsorted(ids_arr, d)]
+            order = np.argsort(d, kind="stable")
+            d, w = d[order], w[order]
+            if len(d) < 2:
+                continue
+            i, j = np.triu_indices(len(d), k=1)
+            out_a.append(d[i])
+            out_b.append(d[j])
+            out_p.append(w[i] * w[j])
+        if not out_a:
+            return from_pandas_clean(
+                pd.DataFrame(
+                    {"id_a": np.empty(0, np.int64), "id_b": np.empty(0, np.int64),
+                     "p": np.empty(0, np.float64)}
+                ),
+                pair_schema,
+            )
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+        p = np.concatenate(out_p)
+        # per-bucket combiner: same pair may share several terms here
+        dfp = pd.DataFrame({"id_a": a, "id_b": b, "p": p})
+        cmb = dfp.groupby(["id_a", "id_b"], as_index=False, sort=False)["p"].sum()
+        return from_pandas_clean(cmb, pair_schema)
+
+    partials = (
+        add_hash_bucket(weighted, "term", n_buckets)
+        .groupby("__bucket")
+        .map_groups(_pair_partials, batch_format="pandas")
+    )
+
+    def _pack(t: pa.Table) -> pa.Table:
+        a = t["id_a"].to_numpy().astype(np.uint64)
+        b = t["id_b"].to_numpy().astype(np.uint64)
+        return t.append_column("pk", pa.array(((a << np.uint64(32)) | b).view(np.int64)))
+
+    out_schema = pa.schema(
+        [("id_a", pa.int64()), ("id_b", pa.int64()), ("cos", pa.float64())]
+    )
+
+    def _finish(g: pd.DataFrame):
+        g = g.sort_values(["id_a", "id_b", "p"], kind="mergesort")
+        s = g.groupby(["id_a", "id_b"], as_index=False, sort=False)["p"].sum()
+        s = s.loc[s["p"] >= threshold]
+        return from_pandas_clean(
+            pd.DataFrame(
+                {
+                    "id_a": s["id_a"].to_numpy(np.int64),
+                    "id_b": s["id_b"].to_numpy(np.int64),
+                    "cos": s["p"].to_numpy(np.float64),
+                }
+            ),
+            out_schema,
+        )
+
+    out = (
+        add_hash_bucket_int(
+            partials.map_batches(_pack, batch_format="pyarrow"), "pk", n_buckets
+        )
+        .groupby("__bucket")
+        .map_groups(_finish, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)

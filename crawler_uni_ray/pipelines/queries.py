@@ -3022,3 +3022,16 @@ def parts_copurchase_triangles(sf_dir: str) -> pd.DataFrame:
         .map_groups(_pairs, batch_format="pandas")
     )
     return triangle_count(edges)
+
+
+def docs_cosine_pairs(sf_dir: str, threshold: float = 0.9) -> pd.DataFrame:
+    """Exact all-pairs sparse tf·idf cosine similarity join
+    (functions/similarity.py:tfidf_cosine_pairs, the APSS/DISCO
+    term-partitioned plan): every doc pair with cosine >= 0.9, id_a <
+    id_b, scores rounded to 6.  Pinned against a dense numpy recompute
+    (tests/test_local_oracles.py)."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = fsim.tfidf_cosine_pairs(docs, threshold=threshold)
+    out["cos"] = np.round(out["cos"].to_numpy(np.float64), 6)
+    out = _ensure_cols(out, {"id_a": "int64", "id_b": "int64", "cos": "float64"})
+    return out.reset_index(drop=True)

@@ -686,3 +686,47 @@ def test_pin_docs_term_counts_cms(ray_session):
         assert got[term] >= exact[term], term
         assert got[term] <= exact[term] + slack, (term, got[term], exact[term], slack)
     assert exact["zebra"] == 0
+
+
+def test_pin_docs_cosine_pairs(ray_session):
+    """All-pairs tf·idf cosine join ≡ a dense numpy recompute (same
+    linear idf, same L2 normalization), atol 1e-6 after round-6 — and
+    the threshold keeps a non-trivial, non-exhaustive pair set."""
+    import re
+
+    import pyarrow.parquet as pq
+    from collections import Counter
+
+    got = Q.docs_cosine_pairs(SF)
+    tbl = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+    word_re = re.compile(r"[A-Za-z]+")
+    docs = {
+        r.doc_id: Counter(w.lower() for w in word_re.findall(r.text))
+        for r in tbl.itertuples()
+    }
+    vocab = sorted({t for c in docs.values() for t in c})
+    dfc = Counter()
+    for c in docs.values():
+        dfc.update(set(c))
+    n = float(len(docs))
+    ids = sorted(docs)
+    vix = {t: i for i, t in enumerate(vocab)}
+    m = np.zeros((len(ids), len(vocab)))
+    for r, did in enumerate(ids):
+        for t, tf in docs[did].items():
+            m[r, vix[t]] = tf * (n / dfc[t])
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    s = m @ m.T
+    rows = [
+        (ids[i], ids[j], round(s[i, j], 6))
+        for i in range(len(ids))
+        for j in range(i + 1, len(ids))
+        if s[i, j] >= 0.9
+    ]
+    want = (
+        pd.DataFrame(rows, columns=["id_a", "id_b", "cos"])
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, atol=1e-6)
+    assert 0 < len(got) < len(ids) * (len(ids) - 1) // 2

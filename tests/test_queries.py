@@ -81,6 +81,7 @@ ROWS_ONLY = [
     "media_image_features",
     "lineitem_pagerank",
     "lineitem_communities",
+    "docs_cosine_pairs",
 ]
 
 
