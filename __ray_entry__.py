@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_communities": q.lineitem_communities,
         "parts_copurchase_triangles": q.parts_copurchase_triangles,
         "docs_cosine_pairs": q.docs_cosine_pairs,
+        "parts_copurchase_kcore": q.parts_copurchase_kcore,
         "docs_training_pipeline": q.docs_training_pipeline,
         # crawl / url / media
         "url_canonicalize": q.url_canonicalize,

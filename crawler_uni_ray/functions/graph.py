@@ -568,3 +568,86 @@ def triangle_count(
             "n_triangles": [int(total)],
         }
     )
+
+
+def k_core(
+    edges: Dataset,
+    k: int,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iters: int = 100,
+    n_buckets: int | None = None,
+) -> pd.DataFrame:
+    """The k-core of the undirected simple graph: the maximal subgraph
+    where every node has degree >= k, by iterative peeling (Matula &
+    Beck 1983).  Each round: one distributed degree aggregate over the
+    surviving edges (per-batch unique-count partials → groupby sum), then
+    the shrinking survivor set broadcasts (``ray.put`` + per-worker
+    cache) and a map-side filter drops edges touching peeled nodes.
+    Converges in <= n rounds, usually few; the driver holds only the
+    node-sized survivor set (the same bound as the label/rank vectors of
+    the other graph ops).  Returns the surviving (node, deg) rows —
+    empty when the graph has no k-core."""
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    if n_buckets is None:
+        n_buckets = max(8, 2 * int(_ray.cluster_resources().get("CPU", 8)))
+
+    def _norm(t: pa.Table) -> pa.Table:
+        a = t[src_col].to_numpy().astype(np.int64)
+        b = t[dst_col].to_numpy().astype(np.int64)
+        keep = a != b
+        a, b = a[keep], b[keep]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pa.table({"a": pa.array(lo), "b": pa.array(hi)})
+
+    cur = _distinct_edges(
+        edges.map_batches(_norm, batch_format="pyarrow"), "a", "b", n_buckets
+    ).materialize()
+
+    def _degrees(e: Dataset) -> pd.DataFrame:
+        def _p(t: pa.Table) -> pa.Table:
+            node = np.concatenate([t["a"].to_numpy(), t["b"].to_numpy()])
+            u, c = np.unique(node, return_counts=True)
+            return pa.table(
+                {"node": pa.array(u), "deg": pa.array(c.astype(np.int64))}
+            )
+
+        return (
+            e.map_batches(_p, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(Sum("deg", alias_name="deg"))
+            .to_pandas()
+        )
+
+    degs = _degrees(cur)
+    for _ in range(max_iters):
+        keep = degs.loc[degs["deg"] >= k, "node"].to_numpy(np.int64)
+        if len(keep) == len(degs):
+            break
+        if len(keep) == 0:
+            return pd.DataFrame({"node": np.empty(0, np.int64),
+                                 "deg": np.empty(0, np.int64)})
+        ref = ray.put(np.sort(keep))
+
+        def _filter(t: pa.Table, _ref=ref) -> pa.Table:
+            from ..util import cached_get as _cg
+
+            kp = _cg(_ref)
+            a = t["a"].to_numpy()
+            b = t["b"].to_numpy()
+            ok = (kp[np.clip(np.searchsorted(kp, a), 0, len(kp) - 1)] == a) & (
+                kp[np.clip(np.searchsorted(kp, b), 0, len(kp) - 1)] == b
+            )
+            return t.filter(pa.array(ok))
+
+        cur = cur.map_batches(_filter, batch_format="pyarrow").materialize()
+        degs = _degrees(cur)
+        if len(degs) == 0:
+            return pd.DataFrame({"node": np.empty(0, np.int64),
+                                 "deg": np.empty(0, np.int64)})
+    degs["node"] = degs["node"].astype("int64")
+    degs["deg"] = degs["deg"].astype("int64")
+    return degs.sort_values("node").reset_index(drop=True)

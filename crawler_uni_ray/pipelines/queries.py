@@ -3035,3 +3035,35 @@ def docs_cosine_pairs(sf_dir: str, threshold: float = 0.9) -> pd.DataFrame:
     out["cos"] = np.round(out["cos"].to_numpy(np.float64), 6)
     out = _ensure_cols(out, {"id_a": "int64", "id_b": "int64", "cos": "float64"})
     return out.reset_index(drop=True)
+
+
+def parts_copurchase_kcore(sf_dir: str, k: int = 65) -> pd.DataFrame:
+    """k-core of the parts co-purchase graph (functions/graph.py:k_core,
+    iterative peeling — one distributed degree aggregate + one broadcast
+    survivor filter per round).  Pinned against a sequential peeling
+    reference over DuckDB-generated edges (tests/test_graph.py)."""
+    from ..functions.graph import k_core
+    from ..ops import add_hash_bucket_int
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    n_buckets = max(8, 2 * int(ray.cluster_resources().get("CPU", 8)))
+
+    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        srcs, dsts = [], []
+        for _, grp in g.groupby("l_orderkey", sort=False):
+            parts = np.unique(grp["l_partkey"].to_numpy(np.int64))
+            if len(parts) < 2:
+                continue
+            i, j = np.triu_indices(len(parts), k=1)
+            srcs.append(parts[i])
+            dsts.append(parts[j])
+        src = np.concatenate(srcs) if srcs else np.empty(0, np.int64)
+        dst = np.concatenate(dsts) if dsts else np.empty(0, np.int64)
+        return pd.DataFrame({"src": src, "dst": dst})
+
+    edges = (
+        add_hash_bucket_int(li, "l_orderkey", n_buckets)
+        .groupby("__bucket")
+        .map_groups(_pairs, batch_format="pandas")
+    )
+    return k_core(edges, k)

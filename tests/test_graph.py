@@ -205,3 +205,87 @@ def test_lineitem_communities_query_pinned(ray_session):
     want = {n: nodes[ref_pos[n]] for n in nodes}
     got_map = dict(zip(got["node"], got["label"]))
     assert got_map == want
+
+
+def test_k_core_matches_peeling_reference(ray_session):
+    """Distributed k-core ≡ a sequential peeling reference on a seeded
+    random graph, plus known answers: a clique survives its own k, a tree
+    has no 2-core."""
+    import pyarrow as pa
+    import ray.data
+
+    from crawler_uni_ray.functions.graph import k_core
+
+    def g(pairs):
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "src": pa.array([p[0] for p in pairs], pa.int64()),
+                    "dst": pa.array([p[1] for p in pairs], pa.int64()),
+                }
+            )
+        )
+
+    def ref_k_core(pairs, k):
+        adj = {}
+        for s, d in pairs:
+            if s == d:
+                continue
+            adj.setdefault(s, set()).add(d)
+            adj.setdefault(d, set()).add(s)
+        changed = True
+        while changed:
+            changed = False
+            for v in list(adj):
+                if len(adj[v]) < k:
+                    for u in adj[v]:
+                        adj[u].discard(v)
+                    del adj[v]
+                    changed = True
+        return {v: len(ns) for v, ns in adj.items()}
+
+    rng = np.random.RandomState(3)
+    pairs = [(int(rng.randint(0, 60)), int(rng.randint(0, 60))) for _ in range(200)]
+    for k in (2, 3, 4):
+        got = k_core(g(pairs), k)
+        want = ref_k_core(pairs, k)
+        assert dict(zip(got["node"], got["deg"])) == want, k
+    # K5 survives k=4; a path graph has no 2-core
+    k5 = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    assert len(k_core(g(k5), 4)) == 5
+    assert len(k_core(g([(0, 1), (1, 2), (2, 3)]), 2)) == 0
+
+
+def test_parts_copurchase_kcore_query_pinned(ray_session):
+    """The driver k-core query vs sequential peeling over DuckDB-generated
+    co-purchase edges at sf0.001 — k=65 peels a non-trivial fringe while
+    leaving a large core (both sides asserted)."""
+    import duckdb
+
+    import __ray_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    got = entrymod.queries()["parts_copurchase_kcore"](sf)
+    pairs = duckdb.connect().execute(
+        f"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey
+                        FROM read_parquet('{sf}/lineitem.parquet'))
+            SELECT DISTINCT x.l_partkey, y.l_partkey FROM li x JOIN li y
+            ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey"""
+    ).fetchall()
+    adj = {}
+    for s, d in pairs:
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    n_total = len(adj)
+    changed = True
+    while changed:
+        changed = False
+        for v in list(adj):
+            if len(adj[v]) < 65:
+                for u in adj[v]:
+                    adj[u].discard(v)
+                del adj[v]
+                changed = True
+    want = {v: len(ns) for v, ns in adj.items()}
+    assert dict(zip(got["node"], got["deg"])) == want
+    assert 0 < len(got) < n_total

@@ -82,6 +82,7 @@ ROWS_ONLY = [
     "lineitem_pagerank",
     "lineitem_communities",
     "docs_cosine_pairs",
+    "parts_copurchase_kcore",
 ]
 
 
