@@ -102,6 +102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_copurchase_triangles": q.parts_copurchase_triangles,
         "docs_cosine_pairs": q.docs_cosine_pairs,
         "parts_copurchase_kcore": q.parts_copurchase_kcore,
+        "docs_weighted_sample": q.docs_weighted_sample,
         "docs_training_pipeline": q.docs_training_pipeline,
         # crawl / url / media
         "url_canonicalize": q.url_canonicalize,

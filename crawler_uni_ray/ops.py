@@ -984,3 +984,45 @@ def grouped_quantiles_cont(
         return from_pandas_clean(out)
 
     return bucketed.groupby("__bucket").map_groups(_q, batch_format="pandas")
+
+
+def weighted_sample_k(
+    ds: Dataset,
+    k: int,
+    id_col: str,
+    weight_col: str,
+    n_buckets: int = 64,
+) -> pd.DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (the Efraimidis
+    & Spirakis 2006 A-ES scheme): each row draws a pseudo-uniform
+    ``u ∈ (0,1)`` from a multiplicative scramble of its id (replayable —
+    no RNG state) and scores ``key = u^(1/w)``; the k largest keys ARE a
+    weighted sample without replacement.  Distributed as a per-block
+    top-k combiner (union-closed: the global top-k is within the union
+    of block top-ks) + driver merge of ≤ k×n_blocks rows — the
+    ``top_terms`` slates shape, no global sort, no shuffle."""
+    import numpy as np
+    import pyarrow as pa
+
+    def _key(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy().astype(np.int64)
+        w = t[weight_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        u = (((ids * 2654435761) % 4294967296) + 1.0) / 4294967297.0
+        key = u ** (1.0 / np.maximum(w, 1e-12))
+        out = pa.table(
+            {
+                id_col: pa.array(ids),
+                weight_col: pa.array(w),
+                "skey": pa.array(key),
+            }
+        )
+        df = out.to_pandas().sort_values(
+            ["skey", id_col], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        return from_pandas_clean(df)
+
+    parts = ds.map_batches(_key, batch_format="pyarrow").to_pandas()
+    top = parts.sort_values(
+        ["skey", id_col], ascending=[False, True], kind="mergesort"
+    ).head(k)
+    return top.reset_index(drop=True)

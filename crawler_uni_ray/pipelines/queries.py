@@ -3067,3 +3067,25 @@ def parts_copurchase_kcore(sf_dir: str, k: int = 65) -> pd.DataFrame:
         .map_groups(_pairs, batch_format="pandas")
     )
     return k_core(edges, k)
+
+
+def docs_weighted_sample(sf_dir: str, k: int = 50) -> pd.DataFrame:
+    """Quality-weighted sample without replacement (ops.weighted_sample_k,
+    Efraimidis-Spirakis A-ES with a replayable hash-uniform): 50 docs
+    drawn ∝ quality score — the domain-upsampling primitive of
+    training-data curation.  Deterministic; pinned against a driver
+    recompute of the same keys (tests/test_local_oracles.py)."""
+    from ..ops import weighted_sample_k
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    scored = ftext.add_quality_score(docs)
+
+    def _proj(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["doc_id", "quality"]]
+
+    top = weighted_sample_k(
+        scored.map_batches(_proj, batch_format="pandas"), k, "doc_id", "quality"
+    )
+    out = top[["doc_id", "quality"]].copy()
+    out["quality"] = np.round(out["quality"].to_numpy(np.float64), 6)
+    return out.sort_values("doc_id").reset_index(drop=True)

@@ -730,3 +730,19 @@ def test_pin_docs_cosine_pairs(ray_session):
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False, atol=1e-6)
     assert 0 < len(got) < len(ids) * (len(ids) - 1) // 2
+
+
+def test_pin_docs_weighted_sample(ray_session):
+    """A-ES weighted sample ≡ a driver recompute of the same keys
+    (u from the id scramble, key = u^(1/quality), top-50 by key desc /
+    id asc) — exact id-set equality — and the sample is quality-biased:
+    its mean quality exceeds the corpus mean."""
+    got = Q.docs_weighted_sample(SF)
+    quality = Q.docs_quality(SF).set_index("doc_id")["quality"]
+    ids = quality.index.to_numpy()
+    u = (((ids * 2654435761) % 4294967296) + 1.0) / 4294967297.0
+    key = u ** (1.0 / np.maximum(quality.to_numpy(np.float64), 1e-12))
+    order = np.lexsort((ids, -key))
+    want_ids = sorted(ids[order[:50]])
+    assert list(got["doc_id"]) == want_ids
+    assert got["quality"].mean() > quality.mean()

@@ -83,6 +83,7 @@ ROWS_ONLY = [
     "lineitem_communities",
     "docs_cosine_pairs",
     "parts_copurchase_kcore",
+    "docs_weighted_sample",
 ]
 
 
