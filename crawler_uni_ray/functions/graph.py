@@ -302,12 +302,15 @@ def label_propagation(
     result seed-free and test-pinnable.
 
     Transport mirrors ``pagerank``'s split: edges are deduped, mirrored,
-    and hash-bucketed on ``dst`` ONCE (``materialize`` — they never move
-    again logically); per iteration the label array broadcasts
-    (``ray.put`` + per-worker ``cached_get``) and each ``hash(dst)``
-    group computes its nodes' EXACT neighbor-label mode in place (a
-    bucket holds every in-edge of its nodes), returning ONE row per node
-    — driver ingress is node-sized per iteration, never edge-sized."""
+    bucket-keyed on ``hash(dst)`` once and ``materialize``d; per
+    iteration the label array broadcasts (``ray.put`` + per-worker
+    ``cached_get``) and each bucket group computes its nodes' EXACT
+    neighbor-label mode in place (a bucket holds every in-edge of its
+    nodes), returning ONE row per node — driver ingress is node-sized
+    per iteration.  The per-iteration ``groupby`` re-partitions the
+    materialized edge rows (one sort-based all-to-all of 24 B rows per
+    round, the same cost profile as the bucketed pagerank transport);
+    the mode itself never leaves the bucket."""
     import ray as _ray
 
     if n_buckets is None:
