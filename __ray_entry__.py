@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_cosine_pairs": q.docs_cosine_pairs,
         "parts_copurchase_kcore": q.parts_copurchase_kcore,
         "docs_weighted_sample": q.docs_weighted_sample,
+        "customers_rfm": q.customers_rfm,
         "docs_training_pipeline": q.docs_training_pipeline,
         # crawl / url / media
         "url_canonicalize": q.url_canonicalize,
@@ -371,6 +372,32 @@ def oracle_sql() -> dict[str, str]:
             ) GROUP BY term
             ORDER BY n DESC, term
             LIMIT 50
+        """,
+        # RFM segmentation: exact integer per-customer stats + three global
+        # NTILE(4) scores; day = floor(epoch/86400), cents = round(price*100).
+        "customers_rfm": """
+            WITH pc AS (
+              SELECT o_custkey,
+                     MAX(CAST(FLOOR(epoch(o_orderdate)/86400) AS BIGINT))
+                       AS last_day,
+                     COUNT(*)::BIGINT AS frequency,
+                     SUM(CAST(ROUND(o_totalprice*100) AS BIGINT))::BIGINT
+                       AS monetary_cents
+              FROM orders GROUP BY 1
+            ), mx AS (SELECT MAX(last_day) AS md FROM pc),
+            b AS (
+              SELECT o_custkey, (mx.md - last_day)::BIGINT AS recency_days,
+                     frequency, monetary_cents
+              FROM pc, mx
+            )
+            SELECT o_custkey, recency_days, frequency, monetary_cents,
+              NTILE(4) OVER (ORDER BY recency_days, o_custkey)::BIGINT
+                AS r_tile,
+              NTILE(4) OVER (ORDER BY frequency DESC, o_custkey)::BIGINT
+                AS f_tile,
+              NTILE(4) OVER (ORDER BY monetary_cents DESC, o_custkey)::BIGINT
+                AS m_tile
+            FROM b ORDER BY o_custkey
         """,
         # Triangle census of the parts co-purchase graph; engine uses
         # degree-ordered orientation, the oracle an id-ordered 3-way join

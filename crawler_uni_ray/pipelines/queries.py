@@ -3089,3 +3089,66 @@ def docs_weighted_sample(sf_dir: str, k: int = 50) -> pd.DataFrame:
     out = top[["doc_id", "quality"]].copy()
     out["quality"] = np.round(out["quality"].to_numpy(np.float64), 6)
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def customers_rfm(sf_dir: str) -> pd.DataFrame:
+    """RFM customer segmentation — the classic curation/analytics
+    composite: per customer (recency = days from their last order to the
+    corpus max date, frequency = order count, monetary = total spend in
+    exact cents), each scored into NTILE(4) over all customers
+    (r_tile: recent=1; f_tile/m_tile: highest=1; ties broken by custkey).
+    Plan: one distributed per-customer aggregate (Ray block
+    pre-aggregation) → three `ops.grouped_ntile` passes over the
+    CUSTOMER-dimension table (constant key — a global NTILE is inherently
+    one ordered pass; the input here is the bounded customer dimension,
+    never the order fact stream).  All outputs int64 ⇒ hash-exact."""
+    from ray.data.aggregate import Count, Max, Sum
+
+    from ..ops import grouped_ntile
+
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice", "o_orderdate"])
+
+    def _prep(t: pa.Table) -> pa.Table:
+        cents = np.round(t["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        days = (t["o_orderdate"].cast(pa.int64()).to_numpy() // 86_400_000_000).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "o_custkey": t["o_custkey"],
+                "cents": pa.array(cents),
+                "day": pa.array(days),
+            }
+        )
+
+    per_cust = (
+        ds.map_batches(_prep, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(
+            Max("day", alias_name="last_day"),
+            Count(alias_name="frequency"),
+            Sum("cents", alias_name="monetary_cents"),
+        )
+        .materialize()
+    )
+    max_day = int(per_cust.max("last_day"))
+
+    def _rec(t: pa.Table) -> pa.Table:
+        r = max_day - t["last_day"].to_numpy()
+        t = t.append_column("recency_days", pa.array(r.astype(np.int64)))
+        return t.append_column("__g", pa.array(np.zeros(t.num_rows, np.int64)))
+
+    base = per_cust.map_batches(_rec, batch_format="pyarrow")
+    r = grouped_ntile(base, key="__g", order_cols=["recency_days", "o_custkey"],
+                      n=4, out_name="r_tile")
+    f = grouped_ntile(r, key="__g", order_cols=["frequency", "o_custkey"],
+                      n=4, descending=[True, False], out_name="f_tile")
+    m = grouped_ntile(f, key="__g", order_cols=["monetary_cents", "o_custkey"],
+                      n=4, descending=[True, False], out_name="m_tile")
+    out = m.to_pandas()[
+        ["o_custkey", "recency_days", "frequency", "monetary_cents",
+         "r_tile", "f_tile", "m_tile"]
+    ]
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("o_custkey").reset_index(drop=True)
