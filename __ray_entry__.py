@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_copurchase_kcore": q.parts_copurchase_kcore,
         "docs_weighted_sample": q.docs_weighted_sample,
         "customers_rfm": q.customers_rfm,
+        "docs_write_partitioned": q.docs_write_partitioned,
         "docs_training_pipeline": q.docs_training_pipeline,
         # crawl / url / media
         "url_canonicalize": q.url_canonicalize,
@@ -372,6 +373,16 @@ def oracle_sql() -> dict[str, str]:
             ) GROUP BY term
             ORDER BY n DESC, term
             LIMIT 50
+        """,
+        # Resumable partitioned sink: per-partition row counts; the oracle
+        # reproduces the engine's Fibonacci multiplicative hash in HUGEINT
+        # ((k * 0x9E3779B97F4A7C15) mod 2^64) >> 33 mod n_parts.
+        "docs_write_partitioned": """
+            SELECT CAST(((doc_id * CAST(11400714819323198485 AS HUGEINT))
+                         % CAST(18446744073709551616 AS HUGEINT))
+                        // 8589934592 % 8 AS BIGINT) AS partition,
+                   COUNT(*)::BIGINT AS n_rows
+            FROM documents GROUP BY 1 ORDER BY 1
         """,
         # RFM segmentation: exact integer per-customer stats + three global
         # NTILE(4) scores; day = floor(epoch/86400), cents = round(price*100).

@@ -1026,3 +1026,77 @@ def weighted_sample_k(
         ["skey", id_col], ascending=[False, True], kind="mergesort"
     ).head(k)
     return top.reset_index(drop=True)
+
+
+def write_dataset_resumable(
+    ds: Dataset,
+    out_dir: str,
+    key: str,
+    n_parts: int = 64,
+    int_key: bool = True,
+) -> pd.DataFrame:
+    """Resumable partitioned parquet sink (the task brief's 'failed run
+    skips finished partitions' contract, as a generic operator — the
+    crawl checkpoints use the same discipline internally): rows land in
+    ``part_NNNN/`` directories by ``hash(key) % n_parts``; each partition
+    writes ``data.parquet`` via tmp→rename and then an empty ``_SUCCESS``
+    marker (written LAST = the commit point).  A re-run first LISTs the
+    markers, drops completed partitions' rows MAP-SIDE (before the
+    shuffle — skipped data never enters the all-to-all), and writes only
+    the rest; a task retry overwrites its own tmp file and re-renames —
+    idempotent.  Returns a per-partition summary (partition, rows,
+    skipped)."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    done = {
+        int(d.split("_")[1])
+        for d in os.listdir(out_dir)
+        if d.startswith("part_")
+        and os.path.exists(os.path.join(out_dir, d, "_SUCCESS"))
+    }
+
+    bucket = add_hash_bucket_int if int_key else add_hash_bucket
+    bucketed = bucket(ds, key, n_parts)
+
+    if done:
+        skip = np.array(sorted(done), np.int64)
+
+        def _drop(t: pa.Table) -> pa.Table:
+            b = t["__bucket"].to_numpy()
+            return t.filter(pa.array(~np.isin(b, skip)))
+
+        bucketed = bucketed.map_batches(_drop, batch_format="pyarrow")
+
+    sum_schema = pa.schema([("partition", pa.int64()), ("rows", pa.int64())])
+
+    def _write(g: pd.DataFrame):
+        part = int(g["__bucket"].iloc[0])
+        pdir = os.path.join(out_dir, f"part_{part:04d}")
+        os.makedirs(pdir, exist_ok=True)
+        body = g.drop(columns="__bucket").sort_values(key, kind="mergesort")
+        tmp = os.path.join(pdir, ".data.parquet.tmp")
+        import pyarrow.parquet as pq
+
+        pq.write_table(
+            pa.Table.from_pandas(body, preserve_index=False), tmp,
+            compression="zstd",
+        )
+        os.replace(tmp, os.path.join(pdir, "data.parquet"))
+        with open(os.path.join(pdir, "_SUCCESS"), "w"):
+            pass
+        return from_pandas_clean(
+            pd.DataFrame({"partition": [part], "rows": [len(body)]}), sum_schema
+        )
+
+    written = (
+        bucketed.groupby("__bucket")
+        .map_groups(_write, batch_format="pandas")
+        .to_pandas()
+    )
+    written["skipped"] = False
+    skipped = pd.DataFrame(
+        {"partition": sorted(done), "rows": -1, "skipped": True}
+    )
+    out = pd.concat([written, skipped], ignore_index=True)
+    return out.sort_values("partition").reset_index(drop=True)

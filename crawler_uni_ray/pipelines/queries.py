@@ -3152,3 +3152,30 @@ def customers_rfm(sf_dir: str) -> pd.DataFrame:
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out.sort_values("o_custkey").reset_index(drop=True)
+
+
+def docs_write_partitioned(sf_dir: str, n_parts: int = 8) -> pd.DataFrame:
+    """Resumable partitioned-sink exercise (ops.write_dataset_resumable):
+    writes the documents table into hash(doc_id) part directories under a
+    fresh scratch dir (tmp→rename data, _SUCCESS written last = commit
+    point; a rerun skips committed partitions map-side) and returns the
+    per-partition row counts — which the SQL oracle reproduces from the
+    same Fibonacci-hash arithmetic in HUGEINT.  Resume/skip/idempotency
+    semantics are unit-tested in tests/test_ops.py."""
+    import shutil
+    import tempfile
+
+    from ..ops import write_dataset_resumable
+
+    out_dir = tempfile.mkdtemp(prefix="graft_sink_", dir="/tmp")
+    try:
+        docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+        s = write_dataset_resumable(docs, out_dir, "doc_id", n_parts)
+        s = s.loc[~s["skipped"], ["partition", "rows"]].rename(
+            columns={"rows": "n_rows"}
+        )
+        s["partition"] = s["partition"].astype("int64")
+        s["n_rows"] = s["n_rows"].astype("int64")
+        return s.sort_values("partition").reset_index(drop=True)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)

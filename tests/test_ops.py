@@ -627,3 +627,43 @@ def test_grouped_quantiles_cont_matches_duckdb(ray_session):
     assert (got["k"].to_numpy() == want["k"].to_numpy()).all()
     for c in ("q25", "q50", "q75"):
         assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+
+
+def test_write_dataset_resumable_roundtrip_and_skip(ray_session, tmp_path):
+    """Resumable sink: full roundtrip equality; a re-run with completed
+    markers present skips those partitions entirely (their files
+    untouched) and rewrites only the missing ones; retry is idempotent."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from crawler_uni_ray.ops import write_dataset_resumable
+
+    df = pd.DataFrame({"k": np.arange(1000, dtype=np.int64), "v": np.arange(1000) * 2})
+    ds = ray.data.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    out = str(tmp_path / "sink")
+    summary = write_dataset_resumable(ds, out, "k", n_parts=8)
+    assert not summary["skipped"].any()
+    assert summary["rows"].sum() == 1000
+    back = pq.read_table(out).to_pandas().sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(back, df)
+
+    # simulate a crash: partition 3 lost its commit marker
+    os.remove(os.path.join(out, "part_0003", "_SUCCESS"))
+    mtimes_before = {
+        d: os.path.getmtime(os.path.join(out, d, "data.parquet"))
+        for d in os.listdir(out)
+        if d != "part_0003"
+    }
+    summary2 = write_dataset_resumable(ds, out, "k", n_parts=8)
+    rewritten = summary2.loc[~summary2["skipped"]]
+    assert list(rewritten["partition"]) == [3]
+    assert summary2["skipped"].sum() == 7
+    for d, m in mtimes_before.items():
+        assert os.path.getmtime(os.path.join(out, d, "data.parquet")) == m
+    back2 = pq.read_table(out).to_pandas().sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(back2, df)
