@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_weighted_sample": q.docs_weighted_sample,
         "customers_rfm": q.customers_rfm,
         "docs_write_partitioned": q.docs_write_partitioned,
+        "lineitem_corr_moments": q.lineitem_corr_moments,
         "docs_training_pipeline": q.docs_training_pipeline,
         # crawl / url / media
         "url_canonicalize": q.url_canonicalize,
@@ -373,6 +374,23 @@ def oracle_sql() -> dict[str, str]:
             ) GROUP BY term
             ORDER BY n DESC, term
             LIMIT 50
+        """,
+        # Grouped Pearson sufficient statistics, integer-exact (y =
+        # FLOOR(price) whole dollars: cents² would overflow int64 at sf0.1,
+        # and ROUND ties at .50 diverge between numpy half-even and SQL
+        # half-away — FLOOR has no ties).
+        "lineitem_corr_moments": """
+            SELECT l_returnflag,
+                   COUNT(*)::BIGINT AS n,
+                   SUM(CAST(l_quantity AS BIGINT))::BIGINT AS sum_x,
+                   SUM(CAST(FLOOR(l_extendedprice) AS BIGINT))::BIGINT AS sum_y,
+                   SUM(CAST(l_quantity AS BIGINT)
+                       * CAST(FLOOR(l_extendedprice) AS BIGINT))::BIGINT AS sum_xy,
+                   SUM(CAST(l_quantity AS BIGINT)
+                       * CAST(l_quantity AS BIGINT))::BIGINT AS sum_x2,
+                   SUM(CAST(FLOOR(l_extendedprice) AS BIGINT)
+                       * CAST(FLOOR(l_extendedprice) AS BIGINT))::BIGINT AS sum_y2
+            FROM lineitem GROUP BY 1 ORDER BY 1
         """,
         # Resumable partitioned sink: per-partition row counts; the oracle
         # reproduces the engine's Fibonacci multiplicative hash in HUGEINT

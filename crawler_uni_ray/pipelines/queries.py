@@ -3179,3 +3179,51 @@ def docs_write_partitioned(sf_dir: str, n_parts: int = 8) -> pd.DataFrame:
         return s.sort_values("partition").reset_index(drop=True)
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def lineitem_corr_moments(sf_dir: str) -> pd.DataFrame:
+    """Exact grouped Pearson-correlation sufficient statistics between
+    quantity and FLOOR(extended price) (whole dollars — cents² would
+    overflow int64 at sf0.1, and ROUND ties at .50 dollars diverge
+    between numpy half-even and SQL half-away; FLOOR has no ties) per
+    returnflag — n, Σx,
+    Σy, Σxy, Σx², Σy², all int64 (corr derives with one float expression
+    downstream; integer moments make the distributed sums order-free and
+    hash-exact).  Ray block pre-aggregation feeds one tiny groupby — the
+    orders_spend_variance plan plus the cross-moment."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity",
+                                            "l_extendedprice"])
+
+    def _mom(t: pa.Table) -> pa.Table:
+        x = t["l_quantity"].to_numpy().astype(np.int64)
+        y = np.floor(t["l_extendedprice"].to_numpy()).astype(np.int64)
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "x": pa.array(x),
+                "y": pa.array(y),
+                "xy": pa.array(x * y),
+                "x2": pa.array(x * x),
+                "y2": pa.array(y * y),
+            }
+        )
+
+    out = (
+        ds.map_batches(_mom, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(
+            Count(alias_name="n"),
+            Sum("x", alias_name="sum_x"),
+            Sum("y", alias_name="sum_y"),
+            Sum("xy", alias_name="sum_xy"),
+            Sum("x2", alias_name="sum_x2"),
+            Sum("y2", alias_name="sum_y2"),
+        )
+        .to_pandas()
+    )
+    for c in out.columns:
+        if c != "l_returnflag":
+            out[c] = out[c].astype("int64")
+    return out.sort_values("l_returnflag").reset_index(drop=True)
